@@ -1,0 +1,68 @@
+"""Model descriptors: a uniform interface the MPC / simulator layers build on.
+
+The reference hard-codes ``state_dim = 4`` in its controller with a TODO to
+generalize to the double pole (``/root/reference/optimization/optimization.cc:197-198``).
+Here each model family is described once and every downstream component
+(integrator, problem builder, solver, simulator, sharding) is generic over it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Tuple
+
+from . import double as _double
+from . import single as _single
+from .params import DoubleCartPoleParams, SingleCartPoleParams
+
+__all__ = ["CartPoleModel", "SINGLE_CARTPOLE", "DOUBLE_CARTPOLE", "get_model"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CartPoleModel:
+    """Static description of a dynamics family (hashable: safe as a jit-static arg)."""
+
+    name: str
+    state_dim: int
+    #: Indices of angle coordinates in the state vector (wrapped to (-pi, pi]).
+    angle_indices: Tuple[int, ...]
+    #: f(params, x, u, f_base=None, f_mass=None, ...) -> x_dot
+    dynamics: Callable[..., Any]
+    #: Total mechanical energy (for physics-invariant tests).
+    energy: Callable[..., Any]
+    #: Constructor for the parameter PyTree.
+    params_type: type
+
+    def default_params(self):
+        return self.params_type()
+
+
+SINGLE_CARTPOLE = CartPoleModel(
+    name="single",
+    state_dim=_single.STATE_DIM,
+    angle_indices=_single.ANGLE_INDICES,
+    dynamics=_single.single_cartpole_dynamics,
+    energy=_single.single_cartpole_energy,
+    params_type=SingleCartPoleParams,
+)
+
+DOUBLE_CARTPOLE = CartPoleModel(
+    name="double",
+    state_dim=_double.STATE_DIM,
+    angle_indices=_double.ANGLE_INDICES,
+    dynamics=_double.double_cartpole_dynamics,
+    energy=_double.double_cartpole_energy,
+    params_type=DoubleCartPoleParams,
+)
+
+_REGISTRY = {m.name: m for m in (SINGLE_CARTPOLE, DOUBLE_CARTPOLE)}
+
+
+def get_model(name: str) -> CartPoleModel:
+    """Look up a model family by name (``"single"`` / ``"double"``) —
+    the analog of the reference's ``--version single|double`` codegen flag
+    (``symbolic/generate.py:53-61``)."""
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown model {name!r}; available: {sorted(_REGISTRY)}") from None

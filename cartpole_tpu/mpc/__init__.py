@@ -1,0 +1,20 @@
+from .closed_loop import ClosedLoopResult, closed_loop_step, run_closed_loop
+from .config import OptimizationParams
+from .controller import MPC, MPCOutputs, MPCState, make_mpc
+from .problem import MPCProblemSpec
+from .simulator import DEFAULT_INTERNAL_DT, Simulator, simulator_step
+
+__all__ = [
+    "ClosedLoopResult",
+    "closed_loop_step",
+    "run_closed_loop",
+    "OptimizationParams",
+    "MPC",
+    "MPCOutputs",
+    "MPCState",
+    "make_mpc",
+    "MPCProblemSpec",
+    "Simulator",
+    "simulator_step",
+    "DEFAULT_INTERNAL_DT",
+]

@@ -1,0 +1,87 @@
+"""MPC configuration — the ``OptimizationParams`` analog.
+
+Field-for-field parity with the reference struct
+(``/root/reference/optimization/optimization.hpp:12-53``), including the
+sign convention: a **negative terminal weight turns that terminal cost into an
+equality constraint** (``optimization.cc:236-267``). Two additions: the
+decision-variable clamps that the reference hard-codes in its retraction with
+a "make parameters for these" TODO (``optimization.cc:319-328``) are real
+parameters here, with the same defaults.
+
+The dataclass is frozen/hashable so it can be a jit-static argument; shapes of
+the compiled program are derived from it (window_length, state_spacing,
+max_iterations), matching the reference behavior of rebuilding the optimizer
+when params change (``viz/src/application.ts:367-373``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+__all__ = ["OptimizationParams"]
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizationParams:
+    #: Step between sequential control inputs in the planning window (s).
+    control_dt: float = 0.01
+    #: Length of the planning horizon in samples.
+    window_length: int = 40
+    #: Number of control inputs between sequential shooting states.
+    #: 1 = multiple shooting; == window_length ~ single shooting.
+    state_spacing: int = 10
+    #: Max iterations of the NLS optimization.
+    max_iterations: int = 8
+    relative_exit_tol: float = 1.0e-5
+    absolute_first_derivative_tol: float = 1.0e-6
+    equality_penalty_initial: float = 1.0
+    #: Amplitude of the sinusoidal cold-start control guess.
+    u_guess_sinusoid_amplitude: float = 10.0
+    #: Quadratic weights on the control inputs.
+    u_cost_weight: float = 0.1
+    u_derivative_cost_weight: float = 0.1
+    #: Terminal-state weights; negative => equality constraint instead.
+    b_x_final_cost_weight: float = 150.0
+    th_final_cost_weight: float = -1.0
+    b_x_dot_final_cost_weight: float = -1.0
+    th_dot_final_cost_weight: float = -1.0
+    #: Decision-variable clamps applied by the retraction.
+    b_x_limit: float = 5.0
+    u_limit: float = 300.0
+    #: Line-search budget (reference: hard-coded 5, ``optimization.cc:76``).
+    max_line_search_iterations: int = 5
+
+    def __post_init__(self):
+        if self.control_dt <= 0:
+            raise ValueError("control_dt must be > 0")
+        if self.window_length < 1:
+            raise ValueError("window_length must be >= 1")
+        if self.window_length % self.state_spacing != 0:
+            raise ValueError(
+                f"state_spacing ({self.state_spacing}) must divide window_length "
+                f"({self.window_length}) cleanly"
+            )
+        if self.max_iterations < 1:
+            raise ValueError("max_iterations must be >= 1")
+        if self.u_cost_weight < 0 or self.u_derivative_cost_weight < 0:
+            raise ValueError("control cost weights must be >= 0")
+
+    @property
+    def num_states(self) -> int:
+        """Number of shooting states in the window, incl. the terminal one
+        (``optimization.hpp:52``)."""
+        return self.window_length // self.state_spacing + 1
+
+    # -- JSON round trip (config-surface parity with wasm.cc:23-28) ---------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, payload: str) -> "OptimizationParams":
+        data = json.loads(payload)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    def replace(self, **kwargs) -> "OptimizationParams":
+        return dataclasses.replace(self, **kwargs)

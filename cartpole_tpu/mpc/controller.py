@@ -1,0 +1,160 @@
+"""The MPC controller: functional analog of ``pendulum::Optimization``.
+
+Capability parity with ``/root/reference/optimization/optimization.{hpp,cc}``
+(``Step`` / ``Reset`` / ``SetPreviousSolution``), re-designed the JAX way: the
+reference's mutable ``Optimization`` object becomes a static ``MPC`` config
+object plus an explicit ``MPCState`` PyTree the caller carries between steps
+(warm-start state == resumable/checkpointable state, SURVEY.md §5). ``step``
+is a pure function: jit it, ``vmap`` it over thousands of scenario instances,
+``shard_map`` it over a device mesh.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import CartPoleModel, SINGLE_CARTPOLE
+from ..ops.integrate import rollout
+from ..ops.solver import NLSConfig, NLSOutputs, NLSProblem, solve_nls
+from .config import OptimizationParams
+from .problem import MPCProblemSpec
+
+__all__ = ["MPC", "MPCState", "MPCOutputs", "make_mpc"]
+
+
+class MPCState(NamedTuple):
+    """Carried warm-start state (the reference's ``previous_solution_``,
+    ``optimization.hpp:107``)."""
+
+    previous_solution: Any  #: (dim,) decision vector from the last solve.
+    warm: Any  #: bool scalar — whether previous_solution is valid.
+
+
+class MPCOutputs(NamedTuple):
+    """Analog of ``OptimizationOutputs`` (``optimization.hpp:55-70``)."""
+
+    initial_state: Any  #: (state_dim,) state the window was solved from.
+    previous_solution: Any  #: (dim,) the initial guess used for this solve.
+    solver: NLSOutputs  #: solver diagnostics.
+    u: Any  #: (window_length,) optimized control sequence.
+    predicted_states: Any  #: (window_length, state_dim) open-loop prediction.
+    solution: Any  #: (dim,) full decision vector at the solution.
+
+
+class MPC:
+    """Static MPC definition; all methods are pure functions.
+
+    Build with :func:`make_mpc`. ``step`` has the same signature semantics as
+    ``Optimization::Step(current_state, dynamics_params, b_x_set_point)``
+    (``optimization.hpp:78-80``) with the warm-start state made explicit.
+    """
+
+    def __init__(self, params: OptimizationParams, model: CartPoleModel = SINGLE_CARTPOLE):
+        self.params = params
+        self.model = model
+        self.spec = MPCProblemSpec(params, model)
+        self.nls_config = NLSConfig(
+            max_iterations=params.max_iterations,
+            max_line_search_iterations=params.max_line_search_iterations,
+            relative_exit_tol=params.relative_exit_tol,
+            absolute_first_derivative_tol=params.absolute_first_derivative_tol,
+            equality_penalty_initial=params.equality_penalty_initial,
+        )
+
+    # ------------------------------------------------------------------ state
+    def init_state(self, dtype=jnp.float32) -> MPCState:
+        """Cold-start state (the ``Reset()`` analog, ``optimization.hpp:83``)."""
+        return MPCState(
+            previous_solution=jnp.zeros((self.spec.dim,), dtype),
+            warm=jnp.zeros((), bool),
+        )
+
+    def reset(self, state: MPCState) -> MPCState:
+        return self.init_state(state.previous_solution.dtype)
+
+    def set_previous_solution(self, state: MPCState, guess) -> MPCState:
+        """``SetPreviousSolution`` analog (``optimization.hpp:86-89``)."""
+        guess = jnp.asarray(guess, state.previous_solution.dtype)
+        return MPCState(previous_solution=guess, warm=jnp.ones((), bool))
+
+    # ------------------------------------------------------------------- guess
+    def _initial_guess(self, state: MPCState, x_current):
+        """Warm start (shift controls one step, optimization.cc:50-57) or
+        sinusoidal cold start (:61-67), then fill the shooting states by
+        rolling the guessed controls out from the current state (:333-351 —
+        the reference runs this fill unconditionally)."""
+        spec = self.spec
+        dtype = x_current.dtype
+        K = spec.window_length
+        u0 = spec.u_start
+
+        z_prev = state.previous_solution.astype(dtype)
+        u_prev = z_prev[u0:]
+        u_warm = jnp.concatenate([u_prev[1:], u_prev[-1:]])
+
+        k = jnp.arange(K, dtype=dtype)
+        u_cold = self.params.u_guess_sinusoid_amplitude * jnp.sin(
+            k / K * (2.0 * math.pi)
+        )
+
+        u_guess = jnp.where(state.warm, u_warm, u_cold)
+        u_prev_continuity = jnp.where(state.warm, u_prev[0], jnp.zeros((), dtype))
+        return u_guess, u_prev_continuity
+
+    # -------------------------------------------------------------------- step
+    def step(self, state: MPCState, x_current, dynamics_params, b_x_set_point=0.0):
+        """Run one receding-horizon solve. Pure; vmap over the leading axis of
+        ``(state, x_current, dynamics_params, b_x_set_point)`` for batching.
+
+        Returns ``(MPCOutputs, MPCState)``.
+        """
+        spec = self.spec
+        x_current = jnp.asarray(x_current)
+        dtype = x_current.dtype
+        set_point = jnp.asarray(b_x_set_point, dtype)
+
+        u_guess, u_prev_continuity = self._initial_guess(state, x_current)
+
+        f = lambda x, u: self.model.dynamics(dynamics_params, x, u)
+        _, xs_roll = rollout(
+            f, x_current, u_guess, self.params.control_dt, self.model.angle_indices
+        )
+        # Shooting-state guesses: x_current plus every spacing-th rolled state.
+        shoot = jnp.concatenate(
+            [x_current[None, :], xs_roll[spec.spacing - 1 :: spec.spacing]], axis=0
+        )
+        z_guess = jnp.concatenate([shoot.reshape(-1), u_guess])
+
+        linearize, evaluate, retract = spec.make_problem_fns(
+            x_current, set_point, u_prev_continuity, dynamics_params
+        )
+        problem = NLSProblem(linearize=linearize, evaluate=evaluate, retract=retract)
+        z_sol, solver_outputs = solve_nls(problem, z_guess, self.nls_config)
+
+        u_out = z_sol[spec.u_start :]
+        _, predicted = rollout(
+            f, x_current, u_out, self.params.control_dt, self.model.angle_indices
+        )
+
+        outputs = MPCOutputs(
+            initial_state=x_current,
+            previous_solution=z_guess,
+            solver=solver_outputs,
+            u=u_out,
+            predicted_states=predicted,
+            solution=z_sol,
+        )
+        new_state = MPCState(previous_solution=z_sol, warm=jnp.ones((), bool))
+        return outputs, new_state
+
+
+def make_mpc(
+    params: OptimizationParams | None = None,
+    model: CartPoleModel = SINGLE_CARTPOLE,
+) -> MPC:
+    """Construct an MPC controller definition (static; reusable across jit)."""
+    return MPC(params or OptimizationParams(), model)

@@ -1,0 +1,299 @@
+"""Structured MPC problem builder: hybrid multiple-shooting transcription.
+
+Capability parity with ``Optimization::BuildProblem``
+(``/root/reference/optimization/optimization.cc:194-331``), re-designed for
+XLA: where the reference registers per-residual C++ lambdas with sparse index
+maps into a type-erased ``mini_opt::Problem``, here the whole problem is three
+pure functions over the decision vector plus *precomputed static structure*:
+
+* the cost Jacobian is **constant** (all cost residuals are linear in ``z``),
+  built once as a numpy array at trace time;
+* the constraint Jacobian is block-bidiagonal in the shooting states; the
+  nonlinear defect blocks come from ``jax.jacfwd`` of the segment rollout
+  (vmapped over segments — replacing the reference's sequential
+  RK4-with-Jacobians chain rule, ``optimization.cc:110-155``), and are
+  assembled by einsum against static selection masks (no scatters).
+
+Decision vector layout matches the reference (``optimization.cc:24-37``)::
+
+    z = [x(0), x(1), ..., x(N-1), u(0), ..., u(K-1)],  dim = N*sd + K
+
+with states packed ``state_dim``-wide first and controls in the tail.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import CartPoleModel
+from ..ops.integrate import mod_pi, rollout
+from .config import OptimizationParams
+
+__all__ = ["TerminalSpec", "MPCProblemSpec"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TerminalSpec:
+    """One terminal-state objective: cost row (weight >= 0) or equality row."""
+
+    coord: int  #: state coordinate index at the terminal shooting state.
+    target: float  #: static target (ignored when is_setpoint).
+    weight: float  #: residual weight (1.0 for equality rows).
+    is_angle: bool  #: wrap the difference with mod_pi.
+    is_setpoint: bool  #: target is the dynamic b_x set-point argument.
+
+
+class MPCProblemSpec:
+    """Precomputed static structure of the multiple-shooting NLS problem.
+
+    The dynamic problem data (current state, set-point, previous control,
+    dynamics params) are arguments of the methods, so one spec serves every
+    batched/sharded instance.
+    """
+
+    def __init__(self, params: OptimizationParams, model: CartPoleModel):
+        self.params = params
+        self.model = model
+        sd = model.state_dim
+        K = params.window_length
+        spacing = params.state_spacing
+        N = params.num_states
+
+        self.state_dim = sd
+        self.num_states = N
+        self.window_length = K
+        self.spacing = spacing
+        self.u_start = N * sd
+        self.dim = N * sd + K
+        self.n_defect = (N - 1) * sd
+
+        n_q = sd // 2
+        # Terminal objective coordinates in reference order:
+        # b_x, angle(s), b_x_dot, angle rate(s) (optimization.cc:236-267).
+        coord_specs = [(0, 0.0, params.b_x_final_cost_weight, False, True)]
+        for a in model.angle_indices:
+            coord_specs.append((a, math.pi / 2, params.th_final_cost_weight, True, False))
+        coord_specs.append((n_q, 0.0, params.b_x_dot_final_cost_weight, False, False))
+        for a in model.angle_indices:
+            coord_specs.append((a + n_q, 0.0, params.th_dot_final_cost_weight, False, False))
+
+        self.terminal_costs: Tuple[TerminalSpec, ...] = tuple(
+            TerminalSpec(c, t, w, ang, sp) for (c, t, w, ang, sp) in coord_specs if w >= 0.0
+        )
+        # Negative weight => equality constraint with unit weight
+        # (optimization.cc:236-267).
+        self.terminal_eqs: Tuple[TerminalSpec, ...] = tuple(
+            TerminalSpec(c, t, 1.0, ang, sp) for (c, t, w, ang, sp) in coord_specs if w < 0.0
+        )
+
+        self._build_static_structure()
+
+    # ------------------------------------------------------------------ static
+    def _x_off(self, s: int) -> int:
+        return s * self.state_dim
+
+    def _build_static_structure(self):
+        p, sd, N, K = self.params, self.state_dim, self.num_states, self.window_length
+        D, u0 = self.dim, self.u_start
+        xN = self._x_off(N - 1)
+
+        # Constant cost Jacobian (all cost residuals are linear in z).
+        rows = []
+        for spec in self.terminal_costs:
+            row = np.zeros(D)
+            row[xN + spec.coord] = spec.weight
+            rows.append(row)
+        if p.u_derivative_cost_weight > 0.0:
+            w = p.u_derivative_cost_weight
+            for k in range(K - 1):
+                row = np.zeros(D)
+                row[u0 + k] = w
+                row[u0 + k + 1] = -w
+                rows.append(row)
+            row = np.zeros(D)  # continuity with previous iteration's u(0).
+            row[u0] = w
+            rows.append(row)
+        if p.u_cost_weight > 0.0:
+            for k in range(K):
+                row = np.zeros(D)
+                row[u0 + k] = p.u_cost_weight
+                rows.append(row)
+        self.n_res = len(rows)
+        self._J_cost = np.stack(rows) if rows else np.zeros((0, D))
+
+        # Constant Jacobian of the linear equality rows: initial-state pins
+        # (optimization.cc:228-232) then terminal equalities.
+        lin_rows = []
+        for i in range(sd):
+            row = np.zeros(D)
+            row[i] = 1.0
+            lin_rows.append(row)
+        for spec in self.terminal_eqs:
+            row = np.zeros(D)
+            row[xN + spec.coord] = 1.0
+            lin_rows.append(row)
+        self._A_lin = np.stack(lin_rows)
+        self.n_eq = self.n_defect + self._A_lin.shape[0]
+
+        # Block-bidiagonal selection masks for defect-Jacobian assembly.
+        self._sel_this = np.eye(N - 1, N)  # segment s -> state s
+        self._sel_next = np.eye(N - 1, N, k=1)  # segment s -> state s+1
+
+        # Retraction masks (optimization.cc:309-329).
+        angle_mask = np.zeros(D, bool)
+        pos_mask = np.zeros(D, bool)
+        u_mask = np.zeros(D, bool)
+        for s in range(N):
+            for a in self.model.angle_indices:
+                angle_mask[self._x_off(s) + a] = True
+            pos_mask[self._x_off(s)] = True
+        u_mask[u0:] = True
+        self._angle_mask = angle_mask
+        self._pos_mask = pos_mask
+        self._u_mask = u_mask
+
+    # ------------------------------------------------------------------ pieces
+    def _split(self, z):
+        """z -> (states (N, sd), per-segment controls (N-1, spacing))."""
+        xs = z[: self.u_start].reshape(self.num_states, self.state_dim)
+        useg = z[self.u_start :].reshape(self.num_states - 1, self.spacing)
+        return xs, useg
+
+    def _segment_fn(self, dynamics_params):
+        """x(s), u_seg -> state integrated over one shooting segment
+        (the reference's per-constraint RK4 chain, optimization.cc:117-137)."""
+        f = lambda x, u: self.model.dynamics(dynamics_params, x, u)
+
+        def segment(x_s, u_seg):
+            x_end, _ = rollout(
+                f, x_s, u_seg, self.params.control_dt, self.model.angle_indices
+            )
+            return x_end
+
+        return segment
+
+    def _wrap_defect(self, diff):
+        """mod_pi the angle components of a (…, sd) state difference
+        (optimization.cc:156-158)."""
+        for a in self.model.angle_indices:
+            diff = diff.at[..., a].set(mod_pi(diff[..., a]))
+        return diff
+
+    def cost_residuals(self, z, set_point, u_prev):
+        """Weighted cost residual vector r(z) (least-squares form)."""
+        dtype = z.dtype
+        pieces = []
+        xN = z[self._x_off(self.num_states - 1) : self.u_start]
+        for spec in self.terminal_costs:
+            target = set_point if spec.is_setpoint else jnp.asarray(spec.target, dtype)
+            diff = xN[spec.coord] - target
+            if spec.is_angle:
+                diff = mod_pi(diff)
+            pieces.append(jnp.reshape(spec.weight * diff, (1,)))
+        u = z[self.u_start :]
+        p = self.params
+        if p.u_derivative_cost_weight > 0.0:
+            w = p.u_derivative_cost_weight
+            pieces.append(w * (u[:-1] - u[1:]))
+            pieces.append(jnp.reshape(w * (u[0] - u_prev), (1,)))
+        if p.u_cost_weight > 0.0:
+            pieces.append(p.u_cost_weight * u)
+        if not pieces:
+            return jnp.zeros((0,), dtype)
+        return jnp.concatenate(pieces)
+
+    def _linear_eq_residuals(self, xs, x_current, set_point):
+        dtype = xs.dtype
+        pin = xs[0] - x_current
+        pin = self._wrap_defect(pin)
+        pieces = [pin]
+        xN = xs[-1]
+        for spec in self.terminal_eqs:
+            target = set_point if spec.is_setpoint else jnp.asarray(spec.target, dtype)
+            diff = xN[spec.coord] - target
+            if spec.is_angle:
+                diff = mod_pi(diff)
+            pieces.append(jnp.reshape(diff, (1,)))
+        return jnp.concatenate(pieces)
+
+    def constraints(self, z, x_current, set_point, dynamics_params):
+        """Equality constraint vector c(z) (defects, pins, terminal eqs)."""
+        xs, useg = self._split(z)
+        segment = self._segment_fn(dynamics_params)
+        x_end = jax.vmap(segment)(xs[:-1], useg)
+        defect = self._wrap_defect(x_end - xs[1:])
+        lin = self._linear_eq_residuals(xs, x_current, set_point)
+        return jnp.concatenate([defect.reshape(-1), lin])
+
+    # ---------------------------------------------------------------- closures
+    def make_problem_fns(self, x_current, set_point, u_prev, dynamics_params):
+        """Build the (linearize, evaluate, retract) closures for one solve.
+
+        The captured values may be batched tracers (closures are created
+        inside the vmapped step), so one spec serves every instance.
+        """
+        p = self.params
+        sd, N, spacing = self.state_dim, self.num_states, self.spacing
+        segment = self._segment_fn(dynamics_params)
+
+        def seg_with_aux(x_s, u_seg):
+            x_end = segment(x_s, u_seg)
+            return x_end, x_end
+
+        seg_jac = jax.vmap(jax.jacfwd(seg_with_aux, argnums=(0, 1), has_aux=True))
+
+        def linearize(z):
+            dtype = z.dtype
+            xs, useg = self._split(z)
+            (jx, ju), x_end = seg_jac(xs[:-1], useg)  # (N-1,sd,sd), (N-1,sd,spacing)
+            defect = self._wrap_defect(x_end - xs[1:])
+
+            # Assemble the block-bidiagonal state part:
+            #   rows of segment s: +J_x at state s, -I at state s+1.
+            sel_this = jnp.asarray(self._sel_this, dtype)
+            sel_next = jnp.asarray(self._sel_next, dtype)
+            eye_sd = jnp.eye(sd, dtype=dtype)
+            a_x = jnp.einsum("sab,st->satb", jx, sel_this) - jnp.einsum(
+                "ab,st->satb", eye_sd, sel_next
+            )
+            a_x = a_x.reshape((N - 1) * sd, N * sd)
+            # Controls: block-diagonal over segments.
+            eye_seg = jnp.eye(N - 1, dtype=dtype)
+            a_u = jnp.einsum("sak,st->satk", ju, eye_seg).reshape(
+                (N - 1) * sd, (N - 1) * spacing
+            )
+            a_dyn = jnp.concatenate([a_x, a_u], axis=1)
+
+            A = jnp.concatenate([a_dyn, jnp.asarray(self._A_lin, dtype)], axis=0)
+            c = jnp.concatenate(
+                [defect.reshape(-1), self._linear_eq_residuals(xs, x_current, set_point)]
+            )
+            r = self.cost_residuals(z, set_point, u_prev)
+            J = jnp.asarray(self._J_cost, dtype)
+            return r, J, c, A
+
+        def evaluate(z):
+            r = self.cost_residuals(z, set_point, u_prev)
+            c = self.constraints(z, x_current, set_point, dynamics_params)
+            return r, c
+
+        def retract(z, dz, alpha):
+            z2 = z + alpha * dz
+            z2 = jnp.where(jnp.asarray(self._angle_mask), mod_pi(z2), z2)
+            z2 = jnp.where(
+                jnp.asarray(self._pos_mask),
+                jnp.clip(z2, -p.b_x_limit, p.b_x_limit),
+                z2,
+            )
+            z2 = jnp.where(
+                jnp.asarray(self._u_mask), jnp.clip(z2, -p.u_limit, p.u_limit), z2
+            )
+            return z2
+
+        return linearize, evaluate, retract

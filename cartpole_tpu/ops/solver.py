@@ -1,0 +1,315 @@
+"""Batched constrained nonlinear least-squares solver — the mini_opt replacement.
+
+The reference delegates its inner loop to the external C++ ``mini_opt``
+submodule (call surface documented in SURVEY.md §2): a constrained
+Gauss-Newton with an inner KKT/QP solve, Levenberg-Marquardt damping
+(``MAX_LAMBDA`` termination), a <=5-step line search, a ramped equality
+penalty (``equality_penalty_initial``), and a caller-supplied retraction that
+wraps angles and clamps decision variables
+(``/root/reference/optimization/optimization.cc:73-81, 309-330``).
+
+This module is a ground-up TPU-native redesign of that capability:
+
+* **One XLA program.** The solve is a fixed-trip ``lax.scan`` over iterations
+  with per-instance convergence freezing — no data-dependent shapes or python
+  control flow — so the entire solver jits, vmaps (thousands of independent
+  MPC instances per chip) and shard_maps (scenario sharding across a mesh).
+* **SQP-Gauss-Newton step.** Each iteration linearizes residuals ``r`` and
+  equality constraints ``c`` and solves the damped KKT system::
+
+      [ J^T J + lam*I   A^T ] [dz]   [-J^T r]
+      [ A              -d*I ] [nu] = [-c    ]
+
+  as one batched dense factorization — tiny per instance (~10^2 rows), huge in
+  batch, which is exactly the shape XLA/TPU batched linear algebra wants.
+* **Globalization.** Backtracking line search on the exact L1 merit
+  ``phi = 0.5||r||^2 + mu * ||c||_1`` with an Armijo test; all
+  ``max_line_search_iterations`` candidates are evaluated in parallel and the
+  first acceptable one selected by mask (a sequential search would serialize
+  the batch). The penalty ``mu`` starts at ``equality_penalty_initial`` and
+  ramps with the multiplier estimates. LM damping increases on rejection.
+* **Diagnostics parity.** Returns an ``NLSOutputs`` PyTree with a termination
+  state mirroring ``mini_opt::NLSTerminationState`` plus per-iteration
+  cost/violation/lambda/step traces (the reference exposes these through
+  ``NLSSolverOutputs``/tracing; here they are device arrays).
+
+Problems are specified as three pure closures (see ``NLSProblem``); the MPC
+layer provides structure-exploiting implementations.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "NLSTerminationState",
+    "NLSConfig",
+    "NLSProblem",
+    "NLSOutputs",
+    "solve_nls",
+    "termination_state_name",
+]
+
+
+class NLSTerminationState:
+    """Integer termination codes (device-friendly analog of
+    ``mini_opt::NLSTerminationState``; see ``optimization_test.cc:44-46``)."""
+
+    MAX_ITERATIONS = 0
+    SATISFIED_RELATIVE_TOL = 1
+    SATISFIED_FIRST_ORDER_TOL = 2
+    MAX_LAMBDA = 3
+    QP_INDEFINITE = 4
+
+    _NAMES = {
+        0: "MAX_ITERATIONS",
+        1: "SATISFIED_RELATIVE_TOL",
+        2: "SATISFIED_FIRST_ORDER_TOL",
+        3: "MAX_LAMBDA",
+        4: "QP_INDEFINITE",
+    }
+
+
+def termination_state_name(code: int) -> str:
+    return NLSTerminationState._NAMES.get(int(code), f"UNKNOWN({code})")
+
+
+@dataclasses.dataclass(frozen=True)
+class NLSConfig:
+    """Static solver configuration (mirrors the param surface set at
+    ``optimization.cc:73-79`` plus LM/merit knobs the submodule keeps
+    internal)."""
+
+    max_iterations: int = 8
+    max_line_search_iterations: int = 5
+    relative_exit_tol: float = 1.0e-5
+    absolute_first_derivative_tol: float = 1.0e-6
+    equality_penalty_initial: float = 1.0
+    #: Growth factor applied to the merit penalty when multipliers grow.
+    penalty_multiplier_margin: float = 2.0
+    lambda_initial: float = 0.0
+    lambda_increase: float = 10.0
+    lambda_decrease: float = 0.5
+    lambda_failure_floor: float = 1.0e-4
+    lambda_max: float = 1.0e6
+    armijo_c1: float = 1.0e-4
+    #: Tiny negative regularization of the KKT constraint block.
+    kkt_reg: float = 1.0e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class NLSProblem:
+    """A constrained NLS problem as three pure closures over the decision
+    vector ``z`` (shape ``(dim,)``).
+
+    ``linearize(z) -> (r, J, c, A)``: residuals ``r`` (n_res,), Jacobian ``J``
+    (n_res, dim), equality constraints ``c`` (n_eq,), constraint Jacobian ``A``
+    (n_eq, dim). ``n_eq`` may be 0 for unconstrained problems.
+
+    ``evaluate(z) -> (r, c)``: cheap re-evaluation for line search.
+
+    ``retract(z, dz, alpha) -> z_new``: the manifold/clamp retraction
+    (reference: mod-pi angles, clamp ``b_x`` and ``u``; ``optimization.cc:309-329``).
+    """
+
+    linearize: Callable[[Any], Any]
+    evaluate: Callable[[Any], Any]
+    retract: Callable[[Any, Any, Any], Any]
+
+
+class NLSOutputs(NamedTuple):
+    """Solver diagnostics PyTree (the ``NLSSolverOutputs`` analog)."""
+
+    termination_state: Any  #: int32 code, see NLSTerminationState.
+    n_iterations: Any  #: iterations actually applied (int32).
+    cost: Any  #: final 0.5*||r||^2.
+    constraint_violation: Any  #: final ||c||_inf.
+    first_order_norm: Any  #: final ||J^T r + A^T nu||_inf.
+    lambda_final: Any  #: final LM damping.
+    #: Per-iteration traces, each shape (max_iterations,):
+    iter_cost: Any
+    iter_violation: Any
+    iter_lambda: Any
+    iter_step_size: Any  #: accepted line-search alpha (0 if rejected).
+    iter_first_order: Any
+
+
+def _merit(cost, c_l1, mu):
+    return cost + mu * c_l1
+
+
+def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutputs]:
+    """Solve one constrained NLS instance. Pure; callers ``vmap`` for batching.
+
+    Args:
+      problem: closures defining the problem (may capture batched tracers).
+      z0: initial guess, shape ``(dim,)``.
+      config: static solver configuration.
+
+    Returns:
+      ``(z_final, NLSOutputs)``.
+    """
+    dtype = jnp.asarray(z0).dtype
+    dim = z0.shape[-1]
+
+    r0, J0, c0, A0 = problem.linearize(z0)
+    n_eq = 0 if c0 is None else c0.shape[-1]
+    has_eq = n_eq > 0
+
+    ls_alphas = 0.5 ** jnp.arange(config.max_line_search_iterations, dtype=dtype)
+
+    def kkt_solve(J, r, A, c, lam):
+        """Damped Gauss-Newton KKT step. Returns (dz, nu, ok)."""
+        g = J.T @ r
+        H = J.T @ J + lam * jnp.eye(dim, dtype=dtype)
+        if has_eq:
+            reg = -config.kkt_reg * jnp.eye(n_eq, dtype=dtype)
+            kkt = jnp.block([[H, A.T], [A, reg]])
+            rhs = jnp.concatenate([-g, -c])
+            sol = jnp.linalg.solve(kkt, rhs)
+            dz, nu = sol[:dim], sol[dim:]
+        else:
+            dz = jnp.linalg.solve(H, -g)
+            nu = jnp.zeros((0,), dtype=dtype)
+        ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(nu))
+        return dz, nu, ok
+
+    def c_l1(c):
+        return jnp.sum(jnp.abs(c)) if has_eq else jnp.zeros((), dtype)
+
+    def c_inf(c):
+        return jnp.max(jnp.abs(c)) if has_eq else jnp.zeros((), dtype)
+
+    def iteration(carry, _):
+        z, lam, mu, merit_prev, done, term = carry
+
+        r, J, c, A = problem.linearize(z)
+        cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
+        viol1 = c_l1(c)
+
+        dz, nu, qp_ok = kkt_solve(J, r, A, c, lam)
+        dz = jnp.where(qp_ok, dz, jnp.zeros_like(dz))
+
+        # Lagrangian first-order optimality.
+        grad_lag = J.T @ r + (A.T @ nu if has_eq else 0.0)
+        first_order = jnp.max(jnp.abs(grad_lag))
+
+        # Exact-penalty merit: ramp mu with the multiplier estimates so the
+        # GN direction stays a descent direction for the merit.
+        nu_inf = jnp.max(jnp.abs(nu)) if has_eq else jnp.zeros((), dtype)
+        mu_new = jnp.maximum(mu, config.penalty_multiplier_margin * nu_inf)
+        phi0 = _merit(cost, viol1, mu_new)
+        # Directional derivative bound: grad(phi) . dz <= (J^T r).dz - mu*||c||_1.
+        dphi = jnp.vdot(J.T @ r, dz).real.astype(dtype) - mu_new * viol1
+
+        # Parallel backtracking line search on the retracted iterates.
+        def trial(alpha):
+            z_a = problem.retract(z, dz, alpha)
+            r_a, c_a = problem.evaluate(z_a)
+            cost_a = 0.5 * jnp.vdot(r_a, r_a).real.astype(dtype)
+            phi_a = _merit(cost_a, c_l1(c_a), mu_new)
+            return z_a, phi_a
+
+        z_trials, phi_trials = jax.vmap(trial)(ls_alphas)
+        phi_trials = jnp.where(jnp.isfinite(phi_trials), phi_trials, jnp.inf)
+        accepts = phi_trials <= phi0 + config.armijo_c1 * ls_alphas * dphi
+        any_accept = jnp.any(accepts) & qp_ok
+        # First acceptable alpha (largest step).
+        first_idx = jnp.argmax(accepts)
+        z_accepted = jax.tree.map(lambda t: t[first_idx], z_trials)
+        alpha_used = jnp.where(any_accept, ls_alphas[first_idx], 0.0)
+        phi_new = jnp.where(any_accept, phi_trials[first_idx], phi0)
+
+        # LM damping update.
+        lam_next = jnp.where(
+            any_accept,
+            lam * config.lambda_decrease,
+            jnp.maximum(lam * config.lambda_increase, config.lambda_failure_floor),
+        )
+
+        z_next = jnp.where(any_accept, z_accepted, z)
+
+        # Termination checks (evaluated on the *updated* iterate).
+        rel_change = jnp.abs(merit_prev - phi_new) / jnp.maximum(
+            jnp.abs(merit_prev), jnp.asarray(1.0e-30, dtype)
+        )
+        conv_rel = any_accept & (rel_change < config.relative_exit_tol)
+        conv_first = first_order < config.absolute_first_derivative_tol
+        fail_lambda = lam_next > config.lambda_max
+        fail_qp = ~qp_ok
+
+        new_term = jnp.where(
+            conv_first,
+            NLSTerminationState.SATISFIED_FIRST_ORDER_TOL,
+            jnp.where(
+                conv_rel,
+                NLSTerminationState.SATISFIED_RELATIVE_TOL,
+                jnp.where(
+                    fail_qp,
+                    NLSTerminationState.QP_INDEFINITE,
+                    jnp.where(
+                        fail_lambda,
+                        NLSTerminationState.MAX_LAMBDA,
+                        NLSTerminationState.MAX_ITERATIONS,
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        now_done = conv_rel | conv_first | fail_lambda | fail_qp
+
+        # Freeze finished instances.
+        z_out = jnp.where(done, z, z_next)
+        lam_out = jnp.where(done, lam, lam_next)
+        mu_out = jnp.where(done, mu, mu_new)
+        merit_out = jnp.where(done, merit_prev, phi_new)
+        term_out = jnp.where(done, term, new_term)
+        done_out = done | now_done
+
+        trace = (
+            jnp.where(done, jnp.nan, cost),
+            jnp.where(done, jnp.nan, c_inf(c)),
+            jnp.where(done, jnp.nan, lam),
+            jnp.where(done, 0.0, alpha_used),
+            jnp.where(done, jnp.nan, first_order),
+            ~done,  # iteration applied?
+        )
+        return (z_out, lam_out, mu_out, merit_out, done_out, term_out), trace
+
+    init = (
+        jnp.asarray(z0, dtype),
+        jnp.asarray(config.lambda_initial, dtype),
+        jnp.asarray(config.equality_penalty_initial, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(False),
+        jnp.asarray(NLSTerminationState.MAX_ITERATIONS, jnp.int32),
+    )
+    (z, lam, _, _, _, term), traces = jax.lax.scan(
+        iteration, init, None, length=config.max_iterations
+    )
+    iter_cost, iter_viol, iter_lambda, iter_alpha, iter_first, applied = traces
+
+    # Final diagnostics at the solution.
+    r, J, c, A = problem.linearize(z)
+    cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
+    viol = c_inf(c)
+    _, nu_f, _ = kkt_solve(J, r, A, c, lam)
+    first_order = jnp.max(jnp.abs(J.T @ r + (A.T @ nu_f if has_eq else 0.0)))
+
+    outputs = NLSOutputs(
+        termination_state=term,
+        n_iterations=jnp.sum(applied.astype(jnp.int32)),
+        cost=cost,
+        constraint_violation=viol,
+        first_order_norm=first_order,
+        lambda_final=lam,
+        iter_cost=iter_cost,
+        iter_violation=iter_viol,
+        iter_lambda=iter_lambda,
+        iter_step_size=iter_alpha,
+        iter_first_order=iter_first,
+    )
+    return z, outputs

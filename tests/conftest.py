@@ -1,0 +1,25 @@
+"""Test configuration: run on CPU with 8 virtual devices and fp64.
+
+The parity/correctness gates run in float64 on a simulated 8-device CPU mesh
+(no TPU pod needed for sharding tests), mirroring the plan in SURVEY.md §4.
+
+Note: this environment ships a patched jax that force-registers the ``axon``
+TPU-tunnel platform and prepends it to ``jax_platforms`` (so the
+``JAX_PLATFORMS`` env var alone is not enough); ``jax.config.update`` after
+import wins, as long as it runs before any backend is initialized — which is
+why it lives here in conftest, imported before every test module.
+"""
+
+import os
+
+# Must be set before the XLA CPU client starts.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
