@@ -162,6 +162,14 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
 
     ls_alphas = 0.5 ** jnp.arange(config.max_line_search_iterations, dtype=dtype)
 
+    # TPU shape hygiene: XLA's batched LU custom-call overflows scoped VMEM
+    # at awkward system sizes (v5e probe: 83/84/88 fail at any batch;
+    # 80/96/104/112/120/128 work), so the KKT system is padded to a multiple
+    # of 16 with an identity block. Pure layout change — padded rows solve
+    # to 0 and are sliced away.
+    total = dim + n_eq
+    kkt_pad = (-total) % 16
+
     def kkt_solve(J, r, A, c, lam):
         """Damped Gauss-Newton KKT step. Returns (dz, nu, ok)."""
         g = J.T @ r
@@ -170,8 +178,13 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
             reg = -config.kkt_reg * jnp.eye(n_eq, dtype=dtype)
             kkt = jnp.block([[H, A.T], [A, reg]])
             rhs = jnp.concatenate([-g, -c])
+            if kkt_pad:
+                kkt = jnp.pad(kkt, ((0, kkt_pad), (0, kkt_pad)))
+                pad_idx = jnp.arange(total, total + kkt_pad)
+                kkt = kkt.at[pad_idx, pad_idx].set(1.0)
+                rhs = jnp.pad(rhs, (0, kkt_pad))
             sol = jnp.linalg.solve(kkt, rhs)
-            dz, nu = sol[:dim], sol[dim:]
+            dz, nu = sol[:dim], sol[dim:total]
         else:
             dz = jnp.linalg.solve(H, -g)
             nu = jnp.zeros((0,), dtype=dtype)

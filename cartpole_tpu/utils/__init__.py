@@ -1,0 +1,33 @@
+"""Observability & persistence: tracing, structured solve logs, checkpoints.
+
+TPU-native equivalents of the reference's auxiliary subsystems (SURVEY.md §5):
+mini_opt's compile-time-gated Chrome-trace collector becomes a host-side
+trace collector plus ``jax.profiler`` integration; the web app's JSON solve
+log becomes :class:`SolveLog`; the implicit "warm start == resumable state"
+contract becomes explicit checkpoint save/load of solver-state PyTrees.
+"""
+
+from .checkpoint import load_state, save_state
+from .logging import SolveLog, solve_log_entry, solver_summary
+from .tracing import (
+    TraceCollector,
+    get_trace_json,
+    is_tracing_enabled,
+    profiler_trace,
+    set_tracing_enabled,
+    trace_scope,
+)
+
+__all__ = [
+    "SolveLog",
+    "TraceCollector",
+    "get_trace_json",
+    "is_tracing_enabled",
+    "load_state",
+    "profiler_trace",
+    "save_state",
+    "set_tracing_enabled",
+    "solve_log_entry",
+    "solver_summary",
+    "trace_scope",
+]

@@ -1,0 +1,167 @@
+"""Scenario-sharding tests on a simulated 8-device CPU mesh.
+
+The multi-chip tier the reference lacks entirely (SURVEY.md §2 parallelism
+audit); runs on ``--xla_force_host_platform_device_count=8`` per conftest.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cartpole_tpu import (
+    OptimizationParams,
+    default_single_params,
+    make_mpc,
+    run_closed_loop,
+)
+from cartpole_tpu.parallel import (
+    host_local_batch,
+    make_scenario_mesh,
+    make_sharded_closed_loop,
+    make_sharded_step,
+    reduce_diagnostics,
+    scenario_sharding,
+    shard_scenarios,
+)
+
+DOWN = np.array([0.0, -np.pi / 2, 0.0, 0.0])
+
+
+def _batch_states(mpc, n, dtype=jnp.float64):
+    return jax.vmap(lambda _: mpc.init_state(dtype))(jnp.arange(n))
+
+
+class TestMesh:
+    def test_mesh_covers_all_devices(self):
+        mesh = make_scenario_mesh()
+        assert mesh.devices.size == len(jax.devices()) == 8
+
+    def test_shard_scenarios_distributes_leading_axis(self):
+        mesh = make_scenario_mesh()
+        x = jnp.zeros((16, 4))
+        xs = shard_scenarios(x, mesh)
+        assert xs.sharding == scenario_sharding(mesh)
+        assert xs.addressable_shards[0].data.shape == (2, 4)
+
+    def test_host_local_batch_divisibility(self):
+        mesh = make_scenario_mesh()
+        assert host_local_batch(32, mesh) == 4
+        try:
+            host_local_batch(30, mesh)
+        except ValueError:
+            pass
+        else:
+            raise AssertionError("expected ValueError")
+
+
+class TestShardedStep:
+    def test_matches_unsharded_vmap(self):
+        """The sharded batched step is numerically identical to plain vmap —
+        sharding is a layout decision, not a semantics change."""
+        mpc = make_mpc(OptimizationParams(max_iterations=4))
+        dp = default_single_params(jnp.float64)
+        mesh = make_scenario_mesh()
+        n = 16
+
+        rng = np.random.RandomState(1)
+        x0s = np.tile(DOWN, (n, 1)) + rng.uniform(-0.2, 0.2, (n, 4))
+        x0s = jnp.asarray(x0s)
+        set_points = jnp.zeros((n,), jnp.float64)
+        states = _batch_states(mpc, n)
+
+        step = make_sharded_step(mpc, mesh, donate_state=False)
+        out_sh, new_sh, diag = jax.block_until_ready(
+            step(
+                shard_scenarios(states, mesh),
+                shard_scenarios(x0s, mesh),
+                dp,
+                shard_scenarios(set_points, mesh),
+            )
+        )
+
+        plain = jax.jit(jax.vmap(mpc.step, in_axes=(0, 0, None, 0)))
+        out_ref, new_ref = plain(states, x0s, dp, set_points)
+
+        np.testing.assert_allclose(
+            np.asarray(out_sh.u), np.asarray(out_ref.u), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_sh.previous_solution),
+            np.asarray(new_ref.previous_solution),
+            atol=1e-10,
+        )
+        assert int(diag.n_instances) == n
+        assert int(diag.n_failed) == 0
+        assert int(np.asarray(diag.termination_counts).sum()) == n
+
+    def test_warm_state_stays_sharded_across_ticks(self):
+        """Receding-horizon warm starts carry on-device (SURVEY.md §7 hard
+        part 6): the output state keeps the scenario sharding."""
+        mpc = make_mpc(OptimizationParams(max_iterations=3))
+        dp = default_single_params(jnp.float64)
+        mesh = make_scenario_mesh()
+        n = 8
+        x0s = shard_scenarios(jnp.tile(jnp.asarray(DOWN), (n, 1)), mesh)
+        sps = shard_scenarios(jnp.zeros((n,)), mesh)
+        states = shard_scenarios(_batch_states(mpc, n), mesh)
+
+        step = make_sharded_step(mpc, mesh, donate_state=False)
+        for _ in range(3):
+            _, states, _ = step(states, x0s, dp, sps)
+        assert states.previous_solution.sharding == scenario_sharding(mesh)
+
+
+class TestShardedClosedLoop:
+    def test_sharded_swingup_converges(self):
+        mpc = make_mpc(OptimizationParams(max_iterations=10, state_spacing=5))
+        dp = default_single_params(jnp.float64)
+        mesh = make_scenario_mesh()
+        n = 8
+        rng = np.random.RandomState(2)
+        x0s = np.tile(DOWN, (n, 1))
+        x0s[:, 1] += rng.uniform(-0.2, 0.2, n)
+        x0s = shard_scenarios(jnp.asarray(x0s), mesh)
+        sps = shard_scenarios(jnp.zeros((n,)), mesh)
+
+        num_steps = 200
+        run = make_sharded_closed_loop(mpc, mesh, num_steps=num_steps)
+        result, diag = jax.block_until_ready(run(x0s, dp, sps))
+
+        xf = np.asarray(result.final_state)
+        assert np.all(np.abs(xf[:, 1] - np.pi / 2) < 1e-3)
+        assert int(diag.n_failed) == 0
+        assert int(diag.n_instances) == n
+        assert int(np.asarray(diag.termination_counts).sum()) == n * num_steps
+
+    def test_matches_local_run(self):
+        mpc = make_mpc(OptimizationParams(max_iterations=4))
+        dp = default_single_params(jnp.float64)
+        mesh = make_scenario_mesh()
+        n = 8
+        x0s = jnp.tile(jnp.asarray(DOWN), (n, 1))
+        run = make_sharded_closed_loop(mpc, mesh, num_steps=5)
+        result, _ = run(
+            shard_scenarios(x0s, mesh),
+            dp,
+            shard_scenarios(jnp.zeros((n,)), mesh),
+        )
+        ref = jax.jit(lambda x0: run_closed_loop(mpc, x0, dp, 5))(x0s[0])
+        np.testing.assert_allclose(
+            np.asarray(result.controls)[0], np.asarray(ref.controls), atol=1e-8
+        )
+
+
+class TestDiagnostics:
+    def test_local_reduction_counts(self):
+        mpc = make_mpc(OptimizationParams(max_iterations=4))
+        dp = default_single_params(jnp.float64)
+        n = 4
+        x0s = jnp.tile(jnp.asarray(DOWN), (n, 1))
+        states = _batch_states(mpc, n)
+        outputs, _ = jax.jit(jax.vmap(mpc.step, in_axes=(0, 0, None, None)))(
+            states, x0s, dp, 0.0
+        )
+        diag = reduce_diagnostics(outputs.solver)
+        assert int(diag.n_instances) == n
+        assert int(np.asarray(diag.termination_counts).sum()) == n
+        assert float(diag.mean_iterations) > 0
