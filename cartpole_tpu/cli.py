@@ -1,0 +1,222 @@
+"""Command-line interface: solve / closed-loop / sweep drivers.
+
+The reference's offline entry point is ``model/scratch.py`` (build params,
+run one solve, print ``solver_summary()``, plot). This CLI covers that
+surface plus the batched/sharded sweeps the TPU build adds. All configs
+round-trip JSON with the reference's field names (``wasm.cc:23-28``).
+
+Usage::
+
+    python -m cartpole_tpu solve --params '{"state_spacing": 5}'
+    python -m cartpole_tpu closed-loop --steps 250 --log-json log.json
+    python -m cartpole_tpu sweep --batch 1024 --steps 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from typing import Optional, Sequence
+
+__all__ = ["main"]
+
+
+def _add_common(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--model", choices=("single", "double"), default="single")
+    ap.add_argument("--params", default="{}",
+                    help="OptimizationParams overrides as JSON")
+    ap.add_argument("--dynamics", default="{}",
+                    help="dynamics parameter overrides as JSON")
+    ap.add_argument("--x0", default=None,
+                    help="initial state as JSON list (default: hanging down)")
+    ap.add_argument("--set-point", type=float, default=0.0)
+    ap.add_argument("--f32", action="store_true",
+                    help="f32 fast path (default: f64 parity precision)")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+
+
+def _setup(args):
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    import jax.numpy as jnp
+
+    from . import OptimizationParams, get_model, make_mpc
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    model = get_model(args.model)
+    params = OptimizationParams.from_json(args.params)
+    dyn_overrides = json.loads(args.dynamics)
+    dynamics_params = jax.tree.map(
+        lambda v: jnp.asarray(v, dtype), model.params_type(**dyn_overrides)
+    )
+    if args.x0 is not None:
+        x0 = jnp.asarray(json.loads(args.x0), dtype)
+    else:
+        down = [0.0] * model.state_dim
+        for a in model.angle_indices:
+            down[a] = -math.pi / 2
+        x0 = jnp.asarray(down, dtype)
+    mpc = make_mpc(params, model)
+    return mpc, dynamics_params, x0, dtype
+
+
+def _cmd_solve(args) -> int:
+    import jax
+
+    from .utils import solve_log_entry, solver_summary
+
+    mpc, dynamics_params, x0, dtype = _setup(args)
+    step = jax.jit(lambda s, x: mpc.step(s, x, dynamics_params, args.set_point))
+    outputs, _ = jax.block_until_ready(step(mpc.init_state(dtype), x0))
+    print(solver_summary(outputs.solver))
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(solve_log_entry(outputs), f)
+        print(f"wrote {args.json}")
+    return 0
+
+
+def _cmd_closed_loop(args) -> int:
+    import jax
+    import numpy as np
+
+    from . import run_closed_loop
+    from .ops.solver import NLSTerminationState, termination_state_name
+
+    mpc, dynamics_params, x0, _ = _setup(args)
+    run = jax.jit(
+        lambda x: run_closed_loop(
+            mpc, x, dynamics_params, args.steps, args.set_point
+        )
+    )
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(run(x0))
+    wall = time.perf_counter() - t0
+
+    term = np.asarray(res.termination_states)
+    xf = np.asarray(res.final_state)
+    summary = {
+        "steps": args.steps,
+        "wall_s": round(wall, 3),
+        "final_state": [float(v) for v in xf],
+        "termination_histogram": {
+            termination_state_name(k): int((term == k).sum())
+            for k in range(5)
+            if int((term == k).sum())
+        },
+        "n_failed": int(
+            ((term == NLSTerminationState.QP_INDEFINITE)
+             | (term == NLSTerminationState.MAX_LAMBDA)).sum()
+        ),
+        "max_constraint_violation_after_warmup": float(
+            np.asarray(res.constraint_violations)[min(21, args.steps - 1):].max()
+        ),
+    }
+    print(json.dumps(summary, indent=2))
+
+    if args.log_json:
+        entries = [
+            {
+                "state": [float(v) for v in np.asarray(res.states)[t]],
+                "u": float(np.asarray(res.controls)[t]),
+                "termination_state": termination_state_name(int(term[t])),
+            }
+            for t in range(args.steps)
+        ]
+        with open(args.log_json, "w") as f:
+            json.dump(entries, f)
+        print(f"wrote {args.log_json}")
+
+    if args.plot:
+        from .analysis import plot_closed_loop
+
+        plot_closed_loop(res, save_to=args.plot)
+        print(f"wrote {args.plot}")
+    return 0
+
+
+def _cmd_sweep(args) -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .parallel import (
+        make_scenario_mesh,
+        make_sharded_closed_loop,
+        shard_scenarios,
+    )
+
+    mpc, dynamics_params, x0, dtype = _setup(args)
+    mesh = make_scenario_mesh()
+    n = args.batch
+    rng = np.random.RandomState(args.seed)
+    x0s = np.tile(np.asarray(x0), (n, 1))
+    x0s[:, 0] += rng.uniform(-0.3, 0.3, n)
+    for a in mpc.model.angle_indices:
+        x0s[:, a] += rng.uniform(-0.3, 0.3, n)
+    x0s = shard_scenarios(jnp.asarray(x0s, dtype), mesh)
+    sps = shard_scenarios(jnp.full((n,), args.set_point, dtype), mesh)
+
+    run = make_sharded_closed_loop(mpc, mesh, num_steps=args.steps)
+    t0 = time.perf_counter()
+    result, diag = jax.block_until_ready(run(x0s, dynamics_params, sps))
+    wall = time.perf_counter() - t0
+
+    xf = np.asarray(result.final_state)
+    upright = np.abs(xf[:, mpc.model.angle_indices[0]] - math.pi / 2) < 1e-2
+    print(
+        json.dumps(
+            {
+                "batch": n,
+                "steps": args.steps,
+                "devices": mesh.devices.size,
+                "wall_s": round(wall, 3),
+                "solves_per_s": round(n * args.steps / wall, 1),
+                "n_failed_solves": int(diag.n_failed),
+                "mean_iterations": round(float(diag.mean_iterations), 3),
+                "max_violation": float(diag.max_violation),
+                "fraction_upright": float(upright.mean()),
+            },
+            indent=2,
+        )
+    )
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None) -> int:
+    ap = argparse.ArgumentParser(prog="cartpole_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    ap_solve = sub.add_parser("solve", help="one MPC solve + solver summary")
+    _add_common(ap_solve)
+    ap_solve.add_argument("--json", default=None, help="write solve log JSON")
+    ap_solve.set_defaults(fn=_cmd_solve)
+
+    ap_cl = sub.add_parser("closed-loop", help="receding-horizon run")
+    _add_common(ap_cl)
+    ap_cl.add_argument("--steps", type=int, default=250)
+    ap_cl.add_argument("--log-json", default=None)
+    ap_cl.add_argument("--plot", default=None, help="save trajectory plot PNG")
+    ap_cl.set_defaults(fn=_cmd_closed_loop)
+
+    ap_sw = sub.add_parser("sweep", help="sharded batched scenario sweep")
+    _add_common(ap_sw)
+    ap_sw.add_argument("--batch", type=int, default=256)
+    ap_sw.add_argument("--steps", type=int, default=100)
+    ap_sw.add_argument("--seed", type=int, default=0)
+    ap_sw.set_defaults(fn=_cmd_sweep)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,105 @@
+"""Native C++ oracle parity tests.
+
+The cross-implementation tier of SURVEY.md §4 (the ``pypendulum`` role —
+the reference wrapper cannot be built here since ``mini_opt`` is not
+vendored): hand-written C++ with finite-difference Jacobians vs the JAX
+stack, checked on dynamics values, integration, the 1 kHz plant, and the
+closed-loop control sequence (BASELINE target: max-abs u error <= 1e-4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cartpole_tpu import (
+    OptimizationParams,
+    SingleCartPoleParams,
+    default_single_params,
+    make_mpc,
+    run_closed_loop,
+    single_cartpole_dynamics,
+)
+from cartpole_tpu import native
+from cartpole_tpu.mpc.simulator import simulator_step
+from cartpole_tpu.ops.integrate import rk4_step
+
+if not native.is_available():
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+DOWN = np.array([0.0, -np.pi / 2, 0.0, 0.0])
+
+
+class TestNativeDynamicsParity:
+    def test_dynamics_match(self):
+        p = SingleCartPoleParams(
+            m_b=1.3, m_1=0.21, l_1=0.31, g=9.81, mu_b=0.04,
+            v_mu_b=0.11, c_d_1=0.17, x_s=0.75, k_s=140.0,
+        )
+        rng = np.random.RandomState(3)
+        for _ in range(30):
+            x = rng.uniform(-2, 2, 4)
+            u = rng.uniform(-100, 100)
+            f = rng.uniform(-5, 5, 4)
+            got = native.oracle_dynamics(p, x, u, f[:2], f[2:])
+            want = np.asarray(
+                single_cartpole_dynamics(p, jnp.asarray(x), u, f[:2], f[2:])
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+    def test_rk4_match(self):
+        p = SingleCartPoleParams()
+        f = lambda x, u: single_cartpole_dynamics(p, x, u)
+        rng = np.random.RandomState(4)
+        for _ in range(10):
+            x = rng.uniform(-1, 1, 4)
+            u = rng.uniform(-50, 50)
+            got = native.oracle_rk4(p, x, u, 0.01)
+            want = np.asarray(rk4_step(f, jnp.asarray(x), u, 0.01))
+            np.testing.assert_allclose(got, want, rtol=1e-13, atol=1e-13)
+
+    def test_sim_step_match(self):
+        p = SingleCartPoleParams()
+        rng = np.random.RandomState(5)
+        for _ in range(10):
+            x = rng.uniform(-1, 1, 4)
+            u = rng.uniform(-50, 50)
+            f = rng.uniform(-3, 3, 4)
+            got = native.oracle_sim_step(p, x, 0.01, u, f[:2], f[2:])
+            want = np.asarray(
+                simulator_step(p, jnp.asarray(x), 0.01, u, f[:2], f[2:])
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_long_trajectory_parity(self):
+        """1000 plant substeps stay in lockstep (amplified-error check)."""
+        p = SingleCartPoleParams()
+        x_nat = DOWN.copy()
+        x_jax = jnp.asarray(DOWN)
+        step = jax.jit(lambda x, u: simulator_step(p, x, 0.01, u))
+        for t in range(100):
+            u = 20.0 * np.sin(0.31 * t)
+            x_nat = native.oracle_sim_step(p, x_nat, 0.01, u)
+            x_jax = step(x_jax, u)
+        np.testing.assert_allclose(x_nat, np.asarray(x_jax), atol=1e-9)
+
+
+class TestNativeClosedLoopParity:
+    def test_u_sequence_within_1e4(self):
+        """Closed-loop control parity (BASELINE.json: max-abs u error
+        <= 1e-4 at the same horizon) over 100 receding-horizon ticks."""
+        p = SingleCartPoleParams()
+        op = OptimizationParams(max_iterations=10, state_spacing=5)
+        u_nat, states_nat = native.oracle_closed_loop(p, op, DOWN, 100)
+
+        mpc = make_mpc(op)
+        dp = default_single_params(jnp.float64)
+        res = jax.jit(lambda x: run_closed_loop(mpc, x, dp, 100))(
+            jnp.asarray(DOWN)
+        )
+        u_jax = np.asarray(res.controls)
+        assert np.abs(u_nat - u_jax).max() <= 1e-4
+        np.testing.assert_allclose(
+            states_nat, np.asarray(res.states), atol=1e-5
+        )
