@@ -98,22 +98,29 @@ def reduce_diagnostics(
 
 
 def make_sharded_step(
-    mpc: MPC, mesh: Mesh, axis_name: str = SCENARIO_AXIS, donate_state: bool = True
+    mpc: MPC,
+    mesh: Mesh,
+    axis_name: str = SCENARIO_AXIS,
+    donate_state: bool = True,
+    batched_params: bool = False,
 ):
     """Build the jitted scenario-sharded batched MPC step.
 
     Returns ``step(states, xs, dynamics_params, set_points) ->
     (outputs, new_states, BatchDiagnostics)`` where ``states``/``xs``/
-    ``set_points`` carry a leading global batch axis sharded over the mesh
-    and ``dynamics_params`` is replicated (one plant model for all
-    scenarios — pass batched params through ``vmap`` composition instead if
-    each scenario has its own physics).
+    ``set_points`` carry a leading global batch axis sharded over the mesh.
+    With ``batched_params=False`` (default) ``dynamics_params`` is one
+    replicated plant model for all scenarios; with ``batched_params=True``
+    every leaf of ``dynamics_params`` carries the sharded batch axis too —
+    the parameter-grid sweeps of BASELINE.json (scenarios x (mass, length)).
 
     The MPC state is donated by default: warm starts live on-device across
     receding-horizon ticks with zero host round-trips (SURVEY.md §7 hard
     part 6).
     """
-    batched = jax.vmap(mpc.step, in_axes=(0, 0, None, 0))
+    p_axis = 0 if batched_params else None
+    p_spec = P(axis_name) if batched_params else P()
+    batched = jax.vmap(mpc.step, in_axes=(0, 0, p_axis, 0))
 
     def local_step(states, xs, dynamics_params, set_points):
         outputs, new_states = batched(states, xs, dynamics_params, set_points)
@@ -123,7 +130,7 @@ def make_sharded_step(
     sharded = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(), P(axis_name)),
+        in_specs=(P(axis_name), P(axis_name), p_spec, P(axis_name)),
         out_specs=(P(axis_name), P(axis_name), P()),
         # Solver scan carries start from unvarying literals; the
         # varying-manual-axes check would reject them even though every
@@ -138,6 +145,7 @@ def make_sharded_closed_loop(
     mesh: Mesh,
     num_steps: int,
     axis_name: str = SCENARIO_AXIS,
+    batched_params: bool = False,
 ):
     """Build the jitted scenario-sharded closed-loop runner.
 
@@ -145,10 +153,14 @@ def make_sharded_closed_loop(
     (ClosedLoopResult, BatchDiagnostics)`` — the whole receding-horizon
     loop (MPC solve -> 1 kHz plant -> warm-start carry) compiled into one
     XLA program per shard, with one diagnostics reduction at the end.
+    ``batched_params=True`` gives every scenario its own plant parameters
+    (sharded leading axis on each leaf).
     """
+    p_axis = 0 if batched_params else None
+    p_spec = P(axis_name) if batched_params else P()
     batched = jax.vmap(
         lambda x0, dp, sp: run_closed_loop(mpc, x0, dp, num_steps, sp),
-        in_axes=(0, None, 0),
+        in_axes=(0, p_axis, 0),
     )
 
     def local_run(x0s, dynamics_params, set_points):
@@ -189,7 +201,7 @@ def make_sharded_closed_loop(
     sharded = jax.shard_map(
         local_run,
         mesh=mesh,
-        in_specs=(P(axis_name), P(), P(axis_name)),
+        in_specs=(P(axis_name), p_spec, P(axis_name)),
         out_specs=(P(axis_name), P()),
         check_vma=False,
     )

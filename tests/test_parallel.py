@@ -151,6 +151,58 @@ class TestShardedClosedLoop:
         )
 
 
+class TestBatchedParams:
+    def test_parameter_grid_sweep_matches_single(self):
+        """Per-scenario plant physics (the BASELINE 'scenarios x (mass,
+        length) grid' config): each instance solves its own system and
+        matches the corresponding single-system run."""
+        import dataclasses
+
+        mpc = make_mpc(OptimizationParams(max_iterations=4))
+        mesh = make_scenario_mesh()
+        n = 8
+        masses = np.linspace(0.08, 0.15, n)
+        lengths = np.linspace(0.2, 0.35, n)
+        base = default_single_params(jnp.float64)
+        grid = dataclasses.replace(
+            jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), base),
+            m_1=jnp.asarray(masses),
+            l_1=jnp.asarray(lengths),
+        )
+
+        x0s = jnp.tile(jnp.asarray(DOWN), (n, 1))
+        run = make_sharded_closed_loop(
+            mpc, mesh, num_steps=5, batched_params=True
+        )
+        result, diag = jax.block_until_ready(
+            run(
+                shard_scenarios(x0s, mesh),
+                shard_scenarios(grid, mesh),
+                shard_scenarios(jnp.zeros((n,)), mesh),
+            )
+        )
+        assert int(diag.n_failed) == 0
+
+        from cartpole_tpu import run_closed_loop as rcl
+
+        for i in (0, n - 1):
+            single = dataclasses.replace(
+                base,
+                m_1=jnp.asarray(masses[i]),
+                l_1=jnp.asarray(lengths[i]),
+            )
+            ref = jax.jit(lambda x: rcl(mpc, x, single, 5))(x0s[i])
+            np.testing.assert_allclose(
+                np.asarray(result.controls)[i],
+                np.asarray(ref.controls),
+                atol=1e-7,
+            )
+        # Different physics must give different controls.
+        assert not np.allclose(
+            np.asarray(result.controls)[0], np.asarray(result.controls)[-1]
+        )
+
+
 class TestDiagnostics:
     def test_local_reduction_counts(self):
         mpc = make_mpc(OptimizationParams(max_iterations=4))

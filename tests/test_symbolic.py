@@ -65,6 +65,36 @@ class TestSingleParity:
             np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
 
 
+class TestCodegen:
+    def test_generated_module_matches_handwritten(self, tmp_path):
+        """The emitted JAX module (wrenfold-codegen analog) reproduces the
+        hand-written dynamics."""
+        import importlib.util
+
+        from cartpole_tpu.symbolic import derive_single_cartpole
+        from cartpole_tpu.symbolic.generate import generate_jax_module
+
+        src = generate_jax_module(derive_single_cartpole(), "single")
+        path = tmp_path / "gen_single.py"
+        path.write_text(src)
+        spec = importlib.util.spec_from_file_location("gen_single", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        p = SingleCartPoleParams()
+        pt = tuple(p.as_dict().values())
+        rng = np.random.RandomState(7)
+        for _ in range(10):
+            x = rng.uniform(-2, 2, 4)
+            u = rng.uniform(-50, 50)
+            f = rng.uniform(-3, 3, 4)
+            got = np.asarray(mod.single_dynamics(pt, jnp.asarray(x), u, f))
+            want = np.asarray(
+                single_cartpole_dynamics(p, jnp.asarray(x), u, f[:2], f[2:])
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-11)
+
+
 class TestDoubleParity:
     def test_matches_at_random_states(self, double_oracle):
         rng = np.random.RandomState(1)
