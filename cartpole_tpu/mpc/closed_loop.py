@@ -35,11 +35,25 @@ class ClosedLoopResult(NamedTuple):
     solver_iterations: Any  #: (num_steps,) iterations used per solve.
 
 
-def closed_loop_step(mpc: MPC, carry, dynamics_params, set_point):
-    """One control tick: solve, apply u[0] to the plant for ``control_dt``."""
+def closed_loop_step(mpc: MPC, carry, dynamics_params, set_point,
+                     auto_reset: bool = True):
+    """One control tick: solve, apply u[0] to the plant for ``control_dt``.
+
+    With ``auto_reset`` (default), a failed solve (QP_INDEFINITE /
+    MAX_LAMBDA / non-finite solution) discards the warm start so the next
+    tick cold-starts instead of iterating on a poisoned guess — the batch-
+    scale analog of the reference UI's ``Reset()`` on re-enable
+    (``application.ts:209-214``); its control output is suppressed to 0 for
+    the tick (the web app applies 0 when the controller is off,
+    ``application.ts:437-442``).
+    """
     x, mpc_state = carry
     outputs, mpc_state = mpc.step(mpc_state, x, dynamics_params, set_point)
     u0 = outputs.u[0]
+    if auto_reset:
+        failed = mpc.failure_mask(outputs)
+        mpc_state = mpc.reset_where(mpc_state, failed)
+        u0 = jnp.where(failed, jnp.zeros_like(u0), u0)
     x_next = simulator_step(
         dynamics_params, x, mpc.params.control_dt, u0, model=mpc.model
     )
@@ -53,6 +67,7 @@ def run_closed_loop(
     num_steps: int,
     set_point=0.0,
     mpc_state: MPCState | None = None,
+    auto_reset: bool = True,
 ) -> ClosedLoopResult:
     """Run ``num_steps`` receding-horizon ticks (the reference's 200-step
     closed-loop test pattern, ``optimization_test.cc:39-61``) as one scan.
@@ -68,7 +83,7 @@ def run_closed_loop(
     def body(carry, _):
         (x, state) = carry
         (x_next, state_next), (outputs, u0) = closed_loop_step(
-            mpc, (x, state), dynamics_params, set_point
+            mpc, (x, state), dynamics_params, set_point, auto_reset
         )
         tick = (
             x,

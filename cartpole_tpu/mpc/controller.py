@@ -76,10 +76,39 @@ class MPC:
     def reset(self, state: MPCState) -> MPCState:
         return self.init_state(state.previous_solution.dtype)
 
+    def reset_where(self, state: MPCState, mask) -> MPCState:
+        """Discard warm starts where ``mask`` is True (batched ``Reset()``:
+        the reference UI resets a poisoned warm start when re-enabling the
+        controller, ``application.ts:209-214``; at batch scale the per-
+        instance failure detector drives this — SURVEY.md §5 failure
+        handling)."""
+        mask = jnp.asarray(mask)
+        return MPCState(
+            previous_solution=jnp.where(
+                mask[..., None], jnp.zeros_like(state.previous_solution),
+                state.previous_solution,
+            ),
+            warm=jnp.where(mask, jnp.zeros_like(state.warm), state.warm),
+        )
+
     def set_previous_solution(self, state: MPCState, guess) -> MPCState:
         """``SetPreviousSolution`` analog (``optimization.hpp:86-89``)."""
         guess = jnp.asarray(guess, state.previous_solution.dtype)
         return MPCState(previous_solution=guess, warm=jnp.ones((), bool))
+
+    def failure_mask(self, outputs: "MPCOutputs"):
+        """Per-instance failure detector: solver termination in
+        {QP_INDEFINITE, MAX_LAMBDA} (the health invariant of
+        ``optimization_test.cc:44-46``) or a non-finite solution. Feed to
+        :meth:`reset_where` to discard poisoned warm starts."""
+        from ..ops.solver import NLSTerminationState
+
+        term = outputs.solver.termination_state
+        bad = (term == NLSTerminationState.QP_INDEFINITE) | (
+            term == NLSTerminationState.MAX_LAMBDA
+        )
+        finite = jnp.all(jnp.isfinite(outputs.solution), axis=-1)
+        return bad | ~finite
 
     # ------------------------------------------------------------------- guess
     def _initial_guess(self, state: MPCState, x_current):
