@@ -51,6 +51,10 @@ class OptimizationParams:
     u_limit: float = 300.0
     #: Line-search budget (reference: hard-coded 5, ``optimization.cc:76``).
     max_line_search_iterations: int = 5
+    #: KKT linear solver: "lu" (reference-parity symmetric-indefinite
+    #: factorization) or "schur" (two SPD Cholesky solves — the TPU fast
+    #: path; see ops/solver.py). New knob, no reference analog.
+    kkt_method: str = "lu"
 
     def __post_init__(self):
         if self.control_dt <= 0:

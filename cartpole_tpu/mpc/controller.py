@@ -63,6 +63,7 @@ class MPC:
             relative_exit_tol=params.relative_exit_tol,
             absolute_first_derivative_tol=params.absolute_first_derivative_tol,
             equality_penalty_initial=params.equality_penalty_initial,
+            kkt_method=params.kkt_method,
         )
 
     # ------------------------------------------------------------------ state

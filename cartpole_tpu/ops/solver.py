@@ -99,6 +99,18 @@ class NLSConfig:
     armijo_c1: float = 1.0e-4
     #: Tiny negative regularization of the KKT constraint block.
     kkt_reg: float = 1.0e-10
+    #: KKT linear-solver: "lu" factors the full symmetric-indefinite system
+    #: (reference-parity path); "schur" eliminates through the regularized
+    #: Gauss-Newton Hessian with two SPD Cholesky factorizations — ~3x
+    #: faster on TPU where XLA's batched LU underperforms.
+    kkt_method: str = "lu"
+    #: Primal regularization floor added to the equilibrated augmented
+    #: Hessian in the "schur" path (a dtype-aware floor of ~100 ulp also
+    #: applies).
+    schur_primal_reg: float = 1.0e-9
+    #: Iterative-refinement steps on the "schur" KKT solve (factors are
+    #: reused; recovers f32 accuracy).
+    schur_refine: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -170,22 +182,107 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
     total = dim + n_eq
     kkt_pad = (-total) % 16
 
-    def kkt_solve(J, r, A, c, lam):
-        """Damped Gauss-Newton KKT step. Returns (dz, nu, ok)."""
+    # Static identity with ones on the padded tail of the diagonal (avoids
+    # a scatter in the hot path).
+    import numpy as _np
+
+    _pad_eye = jnp.asarray(
+        _np.diag(
+            _np.concatenate([_np.zeros(total), _np.ones(kkt_pad)])
+        ).astype(_np.float64)
+    )
+
+    def _kkt_solve_lu(J, r, A, c, lam):
+        """Full symmetric-indefinite KKT factorization (reference parity)."""
         g = J.T @ r
         H = J.T @ J + lam * jnp.eye(dim, dtype=dtype)
+        reg = -config.kkt_reg * jnp.eye(n_eq, dtype=dtype)
+        kkt = jnp.block([[H, A.T], [A, reg]])
+        rhs = jnp.concatenate([-g, -c])
+        if kkt_pad:
+            kkt = (
+                jnp.pad(kkt, ((0, kkt_pad), (0, kkt_pad)))
+                + _pad_eye.astype(dtype)
+            )
+            rhs = jnp.pad(rhs, (0, kkt_pad))
+        sol = jnp.linalg.solve(kkt, rhs)
+        return sol[:dim], sol[dim:total]
+
+    def _kkt_solve_schur(J, r, A, c, lam):
+        """Augmented-Lagrangian Schur elimination: two SPD Cholesky solves.
+
+        H = J^T J is singular at lambda = 0 (shooting states appear in no
+        cost), so plain range-space elimination needs a 1/rho-conditioned
+        inverse — hopeless in f32. Instead the exact-equivalent augmented
+        system is solved: adding gamma*A^T A to H (and gamma*A^T c to g)
+        leaves the KKT solution unchanged while making the Hessian PD with
+        O(1) conditioning, because null(A) intersect null(J) = {0} for this
+        problem (the -I defect blocks pin states; u appears in the control
+        costs). Everything is Jacobi-equilibrated first so gamma = 1 is the
+        right scale in any dtype.
+        """
+        g = J.T @ r
+        H = J.T @ J
+
+        # Variable equilibration: s ~ 1/sqrt(column magnitude).
+        a_col = jnp.sum(A * A, axis=0)
+        s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diag(H) + a_col, 1e-8))
+        Hs = (H * s[None, :]) * s[:, None]
+        As = A * s[None, :]
+        gs = g * s
+        # Constraint-row equilibration.
+        rrow = 1.0 / jnp.sqrt(jnp.maximum(jnp.sum(As * As, axis=1), 1e-8))
+        As = As * rrow[:, None]
+        cs = c * rrow
+
+        rho = jnp.maximum(
+            config.schur_primal_reg, 100.0 * jnp.finfo(dtype).eps
+        )
+        # gamma = 1 in the equilibrated metric; LM damping acts in the
+        # ORIGINAL variable metric (lam*I -> lam*s^2).
+        H_aug = Hs + As.T @ As + jnp.diag(lam * s * s + rho)
+        g_aug = gs + As.T @ cs
+
+        L = jnp.linalg.cholesky(H_aug)
+        rhs_block = jnp.concatenate([As.T, g_aug[:, None]], axis=1)
+        sol = jax.scipy.linalg.cho_solve((L, True), rhs_block)
+        HiAt, Hig = sol[:, :n_eq], sol[:, n_eq]
+        S = As @ HiAt + config.kkt_reg * jnp.eye(n_eq, dtype=dtype)
+        Ls = jnp.linalg.cholesky(S)
+
+        def solve_pair(b_d, b_c):
+            """Solve H_aug x + As^T y = b_d ; As x = b_c (factors reused)."""
+            Hib = jax.scipy.linalg.cho_solve((L, True), b_d[:, None])[:, 0]
+            y = jax.scipy.linalg.cho_solve(
+                (Ls, True), (As @ Hib - b_c)[:, None]
+            )[:, 0]
+            x = Hib - HiAt @ y
+            return x, y
+
+        d_hat, nu_s = solve_pair(-g_aug, -cs)
+        # One step of iterative refinement: recovers the digits the f32
+        # factorization loses (no-op at f64 accuracy).
+        for _ in range(config.schur_refine):
+            res_d = -g_aug - (H_aug @ d_hat + As.T @ nu_s)
+            res_c = -cs - As @ d_hat
+            e_x, e_y = solve_pair(res_d, res_c)
+            d_hat = d_hat + e_x
+            nu_s = nu_s + e_y
+
+        dz = d_hat * s
+        nu = nu_s * rrow
+        return dz, nu
+
+    def kkt_solve(J, r, A, c, lam):
+        """Damped Gauss-Newton KKT step. Returns (dz, nu, ok)."""
         if has_eq:
-            reg = -config.kkt_reg * jnp.eye(n_eq, dtype=dtype)
-            kkt = jnp.block([[H, A.T], [A, reg]])
-            rhs = jnp.concatenate([-g, -c])
-            if kkt_pad:
-                kkt = jnp.pad(kkt, ((0, kkt_pad), (0, kkt_pad)))
-                pad_idx = jnp.arange(total, total + kkt_pad)
-                kkt = kkt.at[pad_idx, pad_idx].set(1.0)
-                rhs = jnp.pad(rhs, (0, kkt_pad))
-            sol = jnp.linalg.solve(kkt, rhs)
-            dz, nu = sol[:dim], sol[dim:total]
+            if config.kkt_method == "schur":
+                dz, nu = _kkt_solve_schur(J, r, A, c, lam)
+            else:
+                dz, nu = _kkt_solve_lu(J, r, A, c, lam)
         else:
+            g = J.T @ r
+            H = J.T @ J + lam * jnp.eye(dim, dtype=dtype)
             dz = jnp.linalg.solve(H, -g)
             nu = jnp.zeros((0,), dtype=dtype)
         ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(nu))

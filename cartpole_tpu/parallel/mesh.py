@@ -40,7 +40,18 @@ def initialize_distributed(
     entry point; on Cloud TPU the arguments are auto-detected from the
     environment and may all be ``None``.
     """
+    import os
+
     if num_processes is not None and num_processes <= 1:
+        return
+    if (
+        coordinator_address is None
+        and num_processes is None
+        and "JAX_COORDINATOR_ADDRESS" not in os.environ
+        and "COORDINATOR_ADDRESS" not in os.environ
+    ):
+        # No multi-host request: run single-process. (Deliberately does not
+        # sniff TPU_WORKER_HOSTNAMES — single-chip tunnels set it too.)
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
