@@ -33,13 +33,19 @@ BASELINE_SOLVES_PER_S = 100.0  # 1 solve / 10 ms real-time budget, 1 thread.
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--ticks", type=int, default=100,
-                    help="receding-horizon steps per run (one compiled scan)")
+    ap.add_argument("--ticks", type=int, default=20,
+                    help="receding-horizon steps per run (one compiled scan; "
+                    "kept short — very long scans compile slowly on some "
+                    "TPU runtimes)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--f64", action="store_true",
                     help="parity precision instead of the f32 fast path")
     ap.add_argument("--spacing", type=int, default=5,
                     help="state_spacing (reference test uses 5)")
+    ap.add_argument("--kkt", default="condensed",
+                    choices=("condensed", "schur", "lu"),
+                    help="KKT solver (condensed = TPU fast path: defect "
+                    "elimination down to a K-var SPD system)")
     args = ap.parse_args(argv)
 
     if args.f64:
@@ -55,7 +61,9 @@ def main(argv=None):
 
     dev = jax.devices()[0]
     mpc = make_mpc(
-        OptimizationParams(max_iterations=8, state_spacing=args.spacing)
+        OptimizationParams(
+            max_iterations=8, state_spacing=args.spacing, kkt_method=args.kkt
+        )
     )
     dynamics_params = default_single_params(dtype)
 
@@ -70,15 +78,16 @@ def main(argv=None):
 
     run = make_sharded_closed_loop(mpc, mesh, num_steps=args.ticks)
 
-    # Warm-up: compile.
+    # Warm-up: compile. NOTE sync via host transfer of a small array:
+    # block_until_ready can return early on tunneled-TPU platforms.
     result, diag = run(x0s, dynamics_params, set_points)
-    jax.block_until_ready(result.final_state)
+    np.asarray(result.final_state)
 
     best = math.inf
     for _ in range(args.reps):
         t0 = time.perf_counter()
         result, diag = run(x0s, dynamics_params, set_points)
-        jax.block_until_ready(result.final_state)
+        np.asarray(result.final_state)
         best = min(best, time.perf_counter() - t0)
 
     solves = n * args.ticks

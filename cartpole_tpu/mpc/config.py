@@ -52,8 +52,10 @@ class OptimizationParams:
     #: Line-search budget (reference: hard-coded 5, ``optimization.cc:76``).
     max_line_search_iterations: int = 5
     #: KKT linear solver: "lu" (reference-parity symmetric-indefinite
-    #: factorization) or "schur" (two SPD Cholesky solves — the TPU fast
-    #: path; see ops/solver.py). New knob, no reference analog.
+    #: factorization), "schur" (two SPD Cholesky solves on the augmented
+    #: system), or "condensed" (exact elimination of the defect+pin rows —
+    #: a K x K SPD factorization; the TPU fast path; see ops/solver.py and
+    #: mpc/problem.py). New knob, no reference analog.
     kkt_method: str = "lu"
 
     def __post_init__(self):

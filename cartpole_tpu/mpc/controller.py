@@ -162,7 +162,19 @@ class MPC:
         linearize, evaluate, retract = spec.make_problem_fns(
             x_current, set_point, u_prev_continuity, dynamics_params
         )
-        problem = NLSProblem(linearize=linearize, evaluate=evaluate, retract=retract)
+        condensed = (
+            spec.make_condensed_step(
+                x_current, set_point, u_prev_continuity, dynamics_params
+            )
+            if self.params.kkt_method == "condensed"
+            else None
+        )
+        problem = NLSProblem(
+            linearize=linearize,
+            evaluate=evaluate,
+            retract=retract,
+            condensed_step=condensed,
+        )
         z_sol, solver_outputs = solve_nls(problem, z_guess, self.nls_config)
 
         u_out = z_sol[spec.u_start :]

@@ -115,8 +115,8 @@ class NLSConfig:
 
 @dataclasses.dataclass(frozen=True)
 class NLSProblem:
-    """A constrained NLS problem as three pure closures over the decision
-    vector ``z`` (shape ``(dim,)``).
+    """A constrained NLS problem as pure closures over the decision vector
+    ``z`` (shape ``(dim,)``).
 
     ``linearize(z) -> (r, J, c, A)``: residuals ``r`` (n_res,), Jacobian ``J``
     (n_res, dim), equality constraints ``c`` (n_eq,), constraint Jacobian ``A``
@@ -126,11 +126,22 @@ class NLSProblem:
 
     ``retract(z, dz, alpha) -> z_new``: the manifold/clamp retraction
     (reference: mod-pi angles, clamp ``b_x`` and ``u``; ``optimization.cc:309-329``).
+
+    ``condensed_step`` (optional): structure-exploiting replacement for the
+    dense linearize+KKT step: ``(z, lam) -> (dz, nu_inf, first_order,
+    jr_dz, ok)`` where ``dz`` is the damped Gauss-Newton step (satisfying
+    the linearized constraints), ``nu_inf`` the inf-norm of ALL equality
+    multipliers (for the merit penalty ramp), ``first_order`` the reduced
+    Lagrangian-gradient inf-norm, ``jr_dz`` the exact directional
+    derivative ``(J^T r) . dz``, and ``ok`` a finite/solvable flag. The
+    solver's globalization (merit line search, LM damping, termination) is
+    shared between the dense and condensed paths.
     """
 
     linearize: Callable[[Any], Any]
     evaluate: Callable[[Any], Any]
     retract: Callable[[Any, Any, Any], Any]
+    condensed_step: Any = None
 
 
 class NLSOutputs(NamedTuple):
@@ -294,27 +305,34 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
     def c_inf(c):
         return jnp.max(jnp.abs(c)) if has_eq else jnp.zeros((), dtype)
 
+    use_condensed = problem.condensed_step is not None
+
     def iteration(carry, _):
         z, lam, mu, merit_prev, done, term = carry
 
-        r, J, c, A = problem.linearize(z)
+        if use_condensed:
+            r, c = problem.evaluate(z)
+            dz, nu_inf, first_order, jr_dz, qp_ok = problem.condensed_step(
+                z, lam
+            )
+        else:
+            r, J, c, A = problem.linearize(z)
+            dz, nu, qp_ok = kkt_solve(J, r, A, c, lam)
+            grad_lag = J.T @ r + (A.T @ nu if has_eq else 0.0)
+            first_order = jnp.max(jnp.abs(grad_lag))
+            nu_inf = jnp.max(jnp.abs(nu)) if has_eq else jnp.zeros((), dtype)
+            jr_dz = jnp.vdot(J.T @ r, dz).real.astype(dtype)
+
         cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
         viol1 = c_l1(c)
-
-        dz, nu, qp_ok = kkt_solve(J, r, A, c, lam)
         dz = jnp.where(qp_ok, dz, jnp.zeros_like(dz))
-
-        # Lagrangian first-order optimality.
-        grad_lag = J.T @ r + (A.T @ nu if has_eq else 0.0)
-        first_order = jnp.max(jnp.abs(grad_lag))
 
         # Exact-penalty merit: ramp mu with the multiplier estimates so the
         # GN direction stays a descent direction for the merit.
-        nu_inf = jnp.max(jnp.abs(nu)) if has_eq else jnp.zeros((), dtype)
         mu_new = jnp.maximum(mu, config.penalty_multiplier_margin * nu_inf)
         phi0 = _merit(cost, viol1, mu_new)
         # Directional derivative bound: grad(phi) . dz <= (J^T r).dz - mu*||c||_1.
-        dphi = jnp.vdot(J.T @ r, dz).real.astype(dtype) - mu_new * viol1
+        dphi = jr_dz - mu_new * viol1
 
         # Parallel backtracking line search on the retracted iterates.
         def trial(alpha):
@@ -403,11 +421,19 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
     iter_cost, iter_viol, iter_lambda, iter_alpha, iter_first, applied = traces
 
     # Final diagnostics at the solution.
-    r, J, c, A = problem.linearize(z)
-    cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
-    viol = c_inf(c)
-    _, nu_f, _ = kkt_solve(J, r, A, c, lam)
-    first_order = jnp.max(jnp.abs(J.T @ r + (A.T @ nu_f if has_eq else 0.0)))
+    if use_condensed:
+        r, c = problem.evaluate(z)
+        cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
+        viol = c_inf(c)
+        _, _, first_order, _, _ = problem.condensed_step(z, lam)
+    else:
+        r, J, c, A = problem.linearize(z)
+        cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
+        viol = c_inf(c)
+        _, nu_f, _ = kkt_solve(J, r, A, c, lam)
+        first_order = jnp.max(
+            jnp.abs(J.T @ r + (A.T @ nu_f if has_eq else 0.0))
+        )
 
     outputs = NLSOutputs(
         termination_state=term,

