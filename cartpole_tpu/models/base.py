@@ -32,6 +32,9 @@ class CartPoleModel:
     energy: Callable[..., Any]
     #: Constructor for the parameter PyTree.
     params_type: type
+    #: Optional fj(params, x, u) -> (x_dot, J_x, J_u) with machine-generated
+    #: analytic Jacobians (solver hot path; AD fallback used when None).
+    dynamics_jac: Any = None
 
     def default_params(self):
         return self.params_type()
@@ -44,6 +47,7 @@ SINGLE_CARTPOLE = CartPoleModel(
     dynamics=_single.single_cartpole_dynamics,
     energy=_single.single_cartpole_energy,
     params_type=SingleCartPoleParams,
+    dynamics_jac=_single.single_cartpole_dynamics_jac,
 )
 
 DOUBLE_CARTPOLE = CartPoleModel(
@@ -53,6 +57,7 @@ DOUBLE_CARTPOLE = CartPoleModel(
     dynamics=_double.double_cartpole_dynamics,
     energy=_double.double_cartpole_energy,
     params_type=DoubleCartPoleParams,
+    dynamics_jac=_double.double_cartpole_dynamics_jac,
 )
 
 _REGISTRY = {m.name: m for m in (SINGLE_CARTPOLE, DOUBLE_CARTPOLE)}

@@ -124,6 +124,18 @@ def double_cartpole_dynamics(
     return jnp.stack([b_v, th1_v, th2_v, b_acc, th1_acc, th2_acc])
 
 
+def double_cartpole_dynamics_jac(params: DoubleCartPoleParams, x, u):
+    """``(x_dot, J_x, J_u)`` with machine-generated analytic Jacobians
+    (see ``models/_double_gen.py`` and the note in
+    :func:`cartpole_tpu.models.single.single_cartpole_dynamics_jac`)."""
+    from . import _double_gen
+
+    pt = (
+        params.m_b, params.m_1, params.m_2, params.l_1, params.l_2, params.g,
+    )
+    return _double_gen.double_dynamics_jac(pt, jnp.asarray(x), u)
+
+
 def double_cartpole_energy(params: DoubleCartPoleParams, x):
     """Total mechanical energy T + V (conserved: the reference double model
     has no dissipative terms)."""

@@ -130,6 +130,26 @@ def single_cartpole_dynamics(
     return jnp.stack([b_v, th_v, b_acc, th_acc])
 
 
+def single_cartpole_dynamics_jac(params: SingleCartPoleParams, x, u):
+    """``(x_dot, J_x, J_u)`` with machine-generated analytic Jacobians.
+
+    Backed by ``models/_single_gen.py`` — emitted by
+    ``python -m cartpole_tpu.symbolic.generate --version single --jacobians``
+    from the SymPy Euler-Lagrange derivation (the wrenfold-codegen pattern
+    of the reference, ``single_pendulum_dynamics.hpp:13-16``). Used on the
+    solver hot path: every generated operation is a scalar expression that
+    runs on full (batch,)-shaped lanes under ``vmap``, unlike ``jacfwd``
+    whose tangent axis lands in the TPU lane dimension.
+    """
+    from . import _single_gen
+
+    pt = (
+        params.m_b, params.m_1, params.l_1, params.g, params.mu_b,
+        params.v_mu_b, params.c_d_1, params.x_s, params.k_s,
+    )
+    return _single_gen.single_dynamics_jac(pt, jnp.asarray(x), u)
+
+
 def single_cartpole_energy(params: SingleCartPoleParams, x):
     """Total mechanical energy T + V (test invariant: conserved when
     mu_b = c_d_1 = k_s = 0 and no control/external force)."""

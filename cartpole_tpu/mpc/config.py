@@ -57,6 +57,11 @@ class OptimizationParams:
     #: a K x K SPD factorization; the TPU fast path; see ops/solver.py and
     #: mpc/problem.py). New knob, no reference analog.
     kkt_method: str = "lu"
+    #: Use the machine-generated closed-form dynamics Jacobians
+    #: (models/_*_gen.py) chained by rule instead of jacfwd for the defect
+    #: linearization. Equivalent to <=1e-11; measured slower on v5e (jacfwd
+    #: shares one primal across all tangents), so off by default.
+    analytic_jacobians: bool = False
 
     def __post_init__(self):
         if self.control_dt <= 0:

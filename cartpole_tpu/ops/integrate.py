@@ -17,7 +17,15 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["mod_pi", "wrap_angles", "rk4_step", "rollout", "substep_rollout"]
+__all__ = [
+    "mod_pi",
+    "wrap_angles",
+    "rk4_step",
+    "rk4_step_with_jac",
+    "rollout",
+    "segment_rollout_with_jac",
+    "substep_rollout",
+]
 
 _TWO_PI = 2.0 * math.pi
 
@@ -53,6 +61,82 @@ def rk4_step(f: Callable, x, u, h):
     k3 = f(x + k2 * (h * 0.5), u)
     k4 = f(x + k3 * h, u)
     return x + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+
+
+def rk4_step_with_jac(fj: Callable, x, u, h):
+    """One RK4 step with analytic step Jacobians by the chain rule.
+
+    ``fj(x, u) -> (x_dot, J_x, J_u)`` supplies closed-form dynamics
+    Jacobians (machine-generated; ``models/_*_gen.py``); the four-stage
+    chain rule mirrors the capability of the reference's
+    ``runge_kutta_4th_order`` (``integration.hpp:13-49``). Used on the
+    solver hot path instead of ``jacfwd``: every operation stays a full
+    (batch,)-lane scalar op or a tiny ``state_dim``-square product.
+
+    Returns ``(x_next, A, B)`` with ``A = dx_next/dx`` (sd, sd) and
+    ``B = dx_next/du`` (sd,).
+    """
+    sd = x.shape[-1]
+    eye = jnp.eye(sd, dtype=x.dtype)
+
+    k1, A1, B1 = fj(x, u)
+    # Stage sensitivities: dki/dx and dki/du at the stage points.
+    x2 = x + k1 * (h * 0.5)
+    k2, A2, B2 = fj(x2, u)
+    dk2_dx = A2 @ (eye + (h * 0.5) * A1)
+    dk2_du = A2 @ ((h * 0.5) * B1) + B2
+
+    x3 = x + k2 * (h * 0.5)
+    k3, A3, B3 = fj(x3, u)
+    dk3_dx = A3 @ (eye + (h * 0.5) * dk2_dx)
+    dk3_du = A3 @ ((h * 0.5) * dk2_du) + B3
+
+    x4 = x + k3 * h
+    k4, A4, B4 = fj(x4, u)
+    dk4_dx = A4 @ (eye + h * dk3_dx)
+    dk4_du = A4 @ (h * dk3_du) + B4
+
+    x_next = x + (h / 6.0) * (k1 + 2.0 * k2 + 2.0 * k3 + k4)
+    A = eye + (h / 6.0) * (A1 + 2.0 * dk2_dx + 2.0 * dk3_dx + dk4_dx)
+    B = (h / 6.0) * (B1 + 2.0 * dk2_du + 2.0 * dk3_du + dk4_du)
+    return x_next, A, B
+
+
+def segment_rollout_with_jac(
+    fj: Callable,
+    x0,
+    us,
+    h,
+    angle_indices: Tuple[int, ...] = (),
+):
+    """Integrate a control segment accumulating segment Jacobians.
+
+    Chains :func:`rk4_step_with_jac` over the ``T`` controls (the
+    reference's per-constraint sequential RK4-with-Jacobians pass,
+    ``optimization.cc:110-155``): returns ``(x_end, Jx, Ju)`` with
+    ``Jx = dx_end/dx0`` (sd, sd) and ``Ju = dx_end/dus`` (sd, T). The
+    angle wrap after each step has unit derivative, so it only touches the
+    state, not the accumulated Jacobians.
+
+    Fully unrolled (T = state_spacing is small and static): a ``lax.scan``
+    here needs a dynamic-index scatter for the ``Ju`` column and keeps a
+    padded (sd, T) carry in HBM every step — measured ~1.6x slower on v5e.
+    """
+    sd = x0.shape[-1]
+    T = us.shape[-1]
+    dtype = x0.dtype
+
+    x = x0
+    Jx = jnp.eye(sd, dtype=dtype)
+    cols = []
+    for k in range(T):
+        x, A, B = rk4_step_with_jac(fj, x, us[k], h)
+        x = wrap_angles(x, angle_indices)
+        Jx = A @ Jx
+        cols = [A @ c for c in cols]
+        cols.append(B)
+    Ju = jnp.stack(cols, axis=1)
+    return x, Jx, Ju
 
 
 def rollout(

@@ -176,6 +176,15 @@ def solve_nls(problem: NLSProblem, z0, config: NLSConfig) -> tuple[Any, NLSOutpu
     Returns:
       ``(z_final, NLSOutputs)``.
     """
+    # TPU matmuls on f32 inputs default to bf16 multiplication passes;
+    # the normal equations / KKT factorizations need true f32 accumulation
+    # or Cholesky loses positive-definiteness and solves spuriously hit
+    # MAX_LAMBDA (observed: 15% failure rate on v5e, zero on CPU).
+    with jax.default_matmul_precision("float32"):
+        return _solve_nls_impl(problem, z0, config)
+
+
+def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
     dtype = jnp.asarray(z0).dtype
     dim = z0.shape[-1]
 

@@ -96,10 +96,19 @@ def derive_single_cartpole() -> SymbolicModel:
     V = m_1 * g * p_mass[1]
     L = T - V
 
-    # Rayleigh dissipation for cubic air drag on the pole mass:
-    # D = c_d |v|^3 / 6 (dynamics_single.py:102-108).
-    speed = sym.sqrt((v_mass.T * v_mass)[0, 0])
-    D = c_d_1 * speed**3 / 6
+    # Cubic air drag from the Rayleigh function D = c_d |v|^3 / 6, entered
+    # as explicit generalized forces -dD/dqd with a Piecewise guard on
+    # |v|^2 > 0: the raw symbolic derivative divides by |v| and the
+    # state/control JACOBIANS of the drag are singular at rest — the same
+    # guard the reference applies symbolically
+    # (dynamics_single.py:102-108; branch in the generated C++ kernel at
+    # single_pendulum_dynamics.hpp:75-84).
+    v2 = (v_mass.T * v_mass)[0, 0]
+    speed = sym.sqrt(v2)
+
+    def drag_force(i):
+        dvi = sym.diff(v2, qd[i]) / 2  # = v . dv/dqd_i
+        return sym.Piecewise((-c_d_1 / 2 * speed * dvi, v2 > 0), (0, True))
 
     # Generalized forces: control, smoothed Coulomb friction, bumper
     # springs (all along b_x), plus external point forces f . dp/dq.
@@ -113,10 +122,10 @@ def derive_single_cartpole() -> SymbolicModel:
             f_base.T * sym.Matrix([sym.diff(p_base[k], q[i]) for k in range(2)])
             + f_mass.T * sym.Matrix([sym.diff(p_mass[k], q[i]) for k in range(2)])
         )[0, 0]
-        Q.append(gen)
+        Q.append(gen + drag_force(i))
     Q[0] += u + friction + spring
 
-    M, f = _euler_lagrange(sym, L, D, q, qd, qdd, Q)
+    M, f = _euler_lagrange(sym, L, sym.S.Zero, q, qd, qdd, Q)
     # No sym.simplify here: it costs minutes on the friction/drag terms and
     # lambdify evaluates the raw solved expressions exactly as well.
     qdd_sol = M.inv() * f

@@ -44,9 +44,13 @@ class TestDoubleMPC:
     def test_receding_horizon_solves_converge(self):
         """A cold solve can't close a double-pole window in 10 GN
         iterations; in the receding-horizon regime warm starts converge
-        the solves — after 100 ticks every window closes to <=1e-6 and
-        the predicted terminal state satisfies the terminal equalities."""
-        params = OptimizationParams(max_iterations=10, state_spacing=5)
+        the solves — late windows close to <=1e-6 and the predicted
+        terminal state satisfies the terminal equalities. Window 60: the
+        default 0.4 s window leaves this perturbation on the edge of the
+        region of attraction (convergence then depends on rounding luck)."""
+        params = OptimizationParams(
+            max_iterations=10, state_spacing=5, window_length=60
+        )
         mpc = make_mpc(params, DOUBLE_CARTPOLE)
         dp = default_double_params(jnp.float64)
         x0 = jnp.array([0.0, UP + 0.1, UP - 0.05, 0.0, 0.0, 0.0])
@@ -59,7 +63,9 @@ class TestDoubleMPC:
 
     def test_stabilization_closed_loop(self):
         """Recover from a perturbation near upright."""
-        params = OptimizationParams(max_iterations=10, state_spacing=5)
+        params = OptimizationParams(
+            max_iterations=10, state_spacing=5, window_length=60
+        )
         mpc = make_mpc(params, DOUBLE_CARTPOLE)
         dp = default_double_params(jnp.float64)
         x0 = jnp.array([0.0, UP + 0.15, UP - 0.1, 0.0, 0.0, 0.0])
