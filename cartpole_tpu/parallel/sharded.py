@@ -30,6 +30,18 @@ __all__ = [
 _N_TERMINATION_STATES = 5
 
 
+def _pmax_via_psum(value, axis_name: str, axis_size: int):
+    """Exact cross-device max built from psum.
+
+    Some TPU runtimes (e.g. single-chip tunnels) lower only Sum
+    all-reduces; a max is recovered exactly by psum-ing a one-hot vector
+    of per-device local maxima and reducing it locally.
+    """
+    idx = jax.lax.axis_index(axis_name)
+    vec = jnp.zeros((axis_size,), value.dtype).at[idx].set(value)
+    return jnp.max(jax.lax.psum(vec, axis_name))
+
+
 class BatchDiagnostics(NamedTuple):
     """Globally reduced solver health for a batch of MPC instances."""
 
@@ -44,11 +56,15 @@ class BatchDiagnostics(NamedTuple):
 
 
 def reduce_diagnostics(
-    solver: NLSOutputs, axis_name: Optional[str] = None
+    solver: NLSOutputs,
+    axis_name: Optional[str] = None,
+    axis_size: Optional[int] = None,
 ) -> BatchDiagnostics:
     """Reduce per-instance ``NLSOutputs`` (leading batch axis) to global
-    health counters. Inside ``shard_map``, pass ``axis_name`` to psum/pmax
-    across the mesh; outside, leave ``None`` for a local reduction.
+    health counters. Inside ``shard_map``, pass ``axis_name`` (and the mesh
+    ``axis_size``) to reduce across the mesh; outside, leave ``None`` for a
+    local reduction. Max-reductions go through :func:`_pmax_via_psum` so
+    only Sum all-reduces are required of the runtime.
     """
     term = solver.termination_state.reshape(-1)
     n_local = term.shape[0]
@@ -75,12 +91,14 @@ def reduce_diagnostics(
     sum_cost = jnp.sum(solver.cost.astype(jnp.float32))
 
     if axis_name is not None:
+        if axis_size is None:
+            raise ValueError("axis_size is required with axis_name")
         n = jax.lax.psum(n, axis_name)
         counts = jax.lax.psum(counts, axis_name)
         converged = jax.lax.psum(converged, axis_name)
         failed = jax.lax.psum(failed, axis_name)
-        max_viol = jax.lax.pmax(max_viol, axis_name)
-        max_first = jax.lax.pmax(max_first, axis_name)
+        max_viol = _pmax_via_psum(max_viol, axis_name, axis_size)
+        max_first = _pmax_via_psum(max_first, axis_name, axis_size)
         sum_iters = jax.lax.psum(sum_iters, axis_name)
         sum_cost = jax.lax.psum(sum_cost, axis_name)
 
@@ -122,9 +140,11 @@ def make_sharded_step(
     p_spec = P(axis_name) if batched_params else P()
     batched = jax.vmap(mpc.step, in_axes=(0, 0, p_axis, 0))
 
+    axis_size = int(mesh.shape[axis_name])
+
     def local_step(states, xs, dynamics_params, set_points):
         outputs, new_states = batched(states, xs, dynamics_params, set_points)
-        diag = reduce_diagnostics(outputs.solver, axis_name)
+        diag = reduce_diagnostics(outputs.solver, axis_name, axis_size)
         return outputs, new_states, diag
 
     sharded = jax.shard_map(
@@ -188,8 +208,10 @@ def make_sharded_closed_loop(
             n_failed=counts[NLSTerminationState.QP_INDEFINITE]
             + counts[NLSTerminationState.MAX_LAMBDA],
             termination_counts=counts,
-            max_violation=jax.lax.pmax(
-                jnp.max(result.constraint_violations), axis_name
+            max_violation=_pmax_via_psum(
+                jnp.max(result.constraint_violations),
+                axis_name,
+                int(mesh.shape[axis_name]),
             ),
             max_first_order=jnp.asarray(jnp.nan),  # not tracked per tick
             mean_iterations=sum_iters
