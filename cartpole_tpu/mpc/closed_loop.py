@@ -36,7 +36,7 @@ class ClosedLoopResult(NamedTuple):
 
 
 def closed_loop_step(mpc: MPC, carry, dynamics_params, set_point,
-                     auto_reset: bool = True):
+                     auto_reset: bool = True, f_base=None, f_mass=None):
     """One control tick: solve, apply u[0] to the plant for ``control_dt``.
 
     With ``auto_reset`` (default), a failed solve (QP_INDEFINITE /
@@ -46,6 +46,10 @@ def closed_loop_step(mpc: MPC, carry, dynamics_params, set_point,
     (``application.ts:209-214``); its control output is suppressed to 0 for
     the tick (the web app applies 0 when the controller is off,
     ``application.ts:437-442``).
+
+    ``f_base``/``f_mass`` are external disturbance forces (2-vectors)
+    applied to the PLANT only — the planner never sees them, exactly like
+    the browser UI's mouse-injected pokes (``application.ts:424-458``).
     """
     x, mpc_state = carry
     outputs, mpc_state = mpc.step(mpc_state, x, dynamics_params, set_point)
@@ -55,7 +59,8 @@ def closed_loop_step(mpc: MPC, carry, dynamics_params, set_point,
         mpc_state = mpc.reset_where(mpc_state, failed)
         u0 = jnp.where(failed, jnp.zeros_like(u0), u0)
     x_next = simulator_step(
-        dynamics_params, x, mpc.params.control_dt, u0, model=mpc.model
+        dynamics_params, x, mpc.params.control_dt, u0,
+        f_base, f_mass, model=mpc.model,
     )
     return (x_next, mpc_state), (outputs, u0)
 
@@ -68,22 +73,33 @@ def run_closed_loop(
     set_point=0.0,
     mpc_state: MPCState | None = None,
     auto_reset: bool = True,
+    disturbances=None,
 ) -> ClosedLoopResult:
     """Run ``num_steps`` receding-horizon ticks (the reference's 200-step
     closed-loop test pattern, ``optimization_test.cc:39-61``) as one scan.
 
     Pure function; ``vmap`` over a leading axis of ``x0`` /
     ``dynamics_params`` for batched scenario studies.
+
+    ``disturbances``: optional ``(num_steps, 2, 2)`` array of external
+    plant forces per tick — ``[:, 0]`` at the base, ``[:, 1]`` at the pole
+    mass; the planner never sees them (the browser UI's user-poke
+    semantics).
     """
     x0 = jnp.asarray(x0)
     if mpc_state is None:
         mpc_state = mpc.init_state(x0.dtype)
     set_point = jnp.asarray(set_point, x0.dtype)
+    if disturbances is not None:
+        disturbances = jnp.asarray(disturbances, x0.dtype)
 
-    def body(carry, _):
+    def body(carry, dist):
         (x, state) = carry
+        f_base = dist[0] if dist is not None else None
+        f_mass = dist[1] if dist is not None else None
         (x_next, state_next), (outputs, u0) = closed_loop_step(
-            mpc, (x, state), dynamics_params, set_point, auto_reset
+            mpc, (x, state), dynamics_params, set_point, auto_reset,
+            f_base, f_mass,
         )
         tick = (
             x,
@@ -96,7 +112,7 @@ def run_closed_loop(
         return (x_next, state_next), tick
 
     (x_final, mpc_state_final), ticks = jax.lax.scan(
-        body, (x0, mpc_state), None, length=num_steps
+        body, (x0, mpc_state), disturbances, length=num_steps
     )
     states, controls, term_pred, term_codes, violations, iters = ticks
     return ClosedLoopResult(
