@@ -136,6 +136,25 @@ class TestBatchedClosedLoop:
         assert not np.any(term == NLSTerminationState.MAX_LAMBDA)
 
 
+class TestSetPointTracking:
+    def test_swingup_to_offset_set_point(self):
+        """``b_x_set_point`` steers the cart while balancing (the UI's
+        set-point slider; third argument of ``Optimization::Step``)."""
+        mpc = make_mpc(OptimizationParams(max_iterations=10, state_spacing=5))
+        dp = default_single_params(jnp.float64)
+        res = jax.jit(
+            lambda x: run_closed_loop(mpc, x, dp, 300, set_point=0.5)
+        )(jnp.asarray(DOWN))
+        xf = np.asarray(res.final_state)
+        assert abs(xf[0] - 0.5) < 5e-3   # cart at the set point
+        assert abs(xf[1] - np.pi / 2) < 1e-3  # pole upright
+        term = np.asarray(res.termination_states)
+        assert not np.any(
+            (term == NLSTerminationState.QP_INDEFINITE)
+            | (term == NLSTerminationState.MAX_LAMBDA)
+        )
+
+
 class TestWarmStartState:
     def test_reset_discards_warm_start(self):
         """``Reset()`` analog: a reset state reproduces the cold-start solve

@@ -76,6 +76,37 @@ class TestDoubleMPC:
         assert abs(xf[2] - UP) < 1e-3
         assert abs(xf[4]) < 1e-2 and abs(xf[5]) < 1e-2
 
+    def test_batched_stabilization_respects_control_bounds(self):
+        """Batched double-pole MPC with control bounds (the BASELINE
+        'double-pendulum batched MPC with control bounds' config): the
+        retraction clamp bounds every control and all scenarios stabilize.
+        (A tightly binding limit on the double pole is genuinely
+        infeasible — any sustained saturation drops the pole — so the
+        binding-saturation case is covered on the single model in
+        tests/test_control_bounds.py.)"""
+        params = OptimizationParams(
+            max_iterations=10, state_spacing=5, window_length=60,
+        )
+        mpc = make_mpc(params, DOUBLE_CARTPOLE)
+        dp = default_double_params(jnp.float64)
+        n = 4
+        rng = np.random.RandomState(0)
+        x0s = np.tile(
+            np.array([0.0, UP, UP, 0.0, 0.0, 0.0]), (n, 1)
+        )
+        x0s[:, 1] += rng.uniform(-0.08, 0.08, n)
+        x0s[:, 2] += rng.uniform(-0.08, 0.08, n)
+        run = jax.jit(
+            jax.vmap(lambda x: run_closed_loop(mpc, x, dp, 200))
+        )
+        res = run(jnp.asarray(x0s))
+        u = np.asarray(res.controls)
+        assert np.all(np.abs(u) <= 300.0 + 1e-12)
+        xf = np.asarray(res.final_state)
+        assert np.all(np.abs(xf[:, 1] - UP) < 1e-2)
+        assert np.all(np.abs(xf[:, 2] - UP) < 1e-2)
+        _no_failures(res.termination_states)
+
     @pytest.mark.slow
     def test_swingup_closed_loop(self):
         """Full double-pole swing-up from hanging — the capability the
