@@ -317,7 +317,7 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
     use_condensed = problem.condensed_step is not None
 
     def iteration(carry, _):
-        z, lam, mu, merit_prev, done, term = carry
+        z, lam, mu, merit_prev, done, term, fo_carry = carry
 
         if use_condensed:
             r, c = problem.evaluate(z)
@@ -404,6 +404,7 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         mu_out = jnp.where(done, mu, mu_new)
         merit_out = jnp.where(done, merit_prev, phi_new)
         term_out = jnp.where(done, term, new_term)
+        fo_out = jnp.where(done, fo_carry, first_order)
         done_out = done | now_done
 
         trace = (
@@ -414,7 +415,10 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
             jnp.where(done, jnp.nan, first_order),
             ~done,  # iteration applied?
         )
-        return (z_out, lam_out, mu_out, merit_out, done_out, term_out), trace
+        return (
+            (z_out, lam_out, mu_out, merit_out, done_out, term_out, fo_out),
+            trace,
+        )
 
     init = (
         jnp.asarray(z0, dtype),
@@ -423,26 +427,19 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         jnp.asarray(jnp.inf, dtype),
         jnp.asarray(False),
         jnp.asarray(NLSTerminationState.MAX_ITERATIONS, jnp.int32),
+        jnp.asarray(jnp.inf, dtype),
     )
-    (z, lam, _, _, _, term), traces = jax.lax.scan(
+    (z, lam, _, _, _, term, first_order), traces = jax.lax.scan(
         iteration, init, None, length=config.max_iterations
     )
     iter_cost, iter_viol, iter_lambda, iter_alpha, iter_first, applied = traces
 
-    # Final diagnostics at the solution.
-    if use_condensed:
-        r, c = problem.evaluate(z)
-        cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
-        viol = c_inf(c)
-        _, _, first_order, _, _ = problem.condensed_step(z, lam)
-    else:
-        r, J, c, A = problem.linearize(z)
-        cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
-        viol = c_inf(c)
-        _, nu_f, _ = kkt_solve(J, r, A, c, lam)
-        first_order = jnp.max(
-            jnp.abs(J.T @ r + (A.T @ nu_f if has_eq else 0.0))
-        )
+    # Final cost/violation at the solution (one cheap residual evaluation;
+    # the first-order norm is the last applied iteration's Lagrangian
+    # gradient — re-linearizing just for a diagnostic cost ~11% of a solve).
+    r, c = problem.evaluate(z)
+    cost = 0.5 * jnp.vdot(r, r).real.astype(dtype)
+    viol = c_inf(c)
 
     outputs = NLSOutputs(
         termination_state=term,
