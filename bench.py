@@ -78,17 +78,28 @@ def main(argv=None):
 
     run = make_sharded_closed_loop(mpc, mesh, num_steps=args.ticks)
 
-    # Warm-up: compile. NOTE sync via host transfer of a small array:
-    # block_until_ready can return early on tunneled-TPU platforms.
-    result, diag = run(x0s, dynamics_params, set_points)
-    np.asarray(result.final_state)
+    def timed_run():
+        t0 = time.perf_counter()
+        result, diag = run(x0s, dynamics_params, set_points)
+        # Sync via host transfer of a small array: block_until_ready can
+        # return early on tunneled-TPU platforms.
+        np.asarray(result.final_state)
+        return time.perf_counter() - t0, result, diag
+
+    # Warm-up: compile. Retry once — the tunneled TPU runtime occasionally
+    # faults transiently on the first big program.
+    try:
+        _, result, diag = timed_run()
+    except Exception as e:  # noqa: BLE001
+        print(f"warm-up failed ({type(e).__name__}); retrying once",
+              file=sys.stderr)
+        time.sleep(20)
+        _, result, diag = timed_run()
 
     best = math.inf
     for _ in range(args.reps):
-        t0 = time.perf_counter()
-        result, diag = run(x0s, dynamics_params, set_points)
-        np.asarray(result.final_state)
-        best = min(best, time.perf_counter() - t0)
+        dt, result, diag = timed_run()
+        best = min(best, dt)
 
     solves = n * args.ticks
     solves_per_s = solves / best

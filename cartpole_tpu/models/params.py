@@ -25,10 +25,30 @@ __all__ = [
 
 
 def _pytree_dataclass(cls):
-    """Register a frozen dataclass where every field is a PyTree data leaf."""
+    """Register a frozen dataclass where every field is a PyTree data leaf,
+    with a JSON round trip over the same field names the reference
+    serializes (``wasm.cc:19-28``)."""
     cls = dataclasses.dataclass(frozen=True)(cls)
     fields = [f.name for f in dataclasses.fields(cls)]
     jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+    def to_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {k: float(v) for k, v in self.as_dict().items()}, sort_keys=True
+        )
+
+    @classmethod
+    def from_json(klass, payload: str):
+        import json
+
+        data = json.loads(payload)
+        known = {f.name for f in dataclasses.fields(klass)}
+        return klass(**{k: v for k, v in data.items() if k in known})
+
+    cls.to_json = to_json
+    cls.from_json = from_json
     return cls
 
 

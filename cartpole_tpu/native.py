@@ -24,6 +24,8 @@ __all__ = [
     "oracle_dynamics",
     "oracle_rk4",
     "oracle_sim_step",
+    "oracle_double_dynamics",
+    "oracle_double_sim_step",
     "oracle_closed_loop",
 ]
 
@@ -76,6 +78,14 @@ def _get_lib() -> ctypes.CDLL:
         dbl_p, dbl_p, ctypes.c_double, dbl_p, ctypes.c_int, dbl_p, dbl_p
     ]
     lib.co_single_closed_loop.restype = ctypes.c_int
+    lib.co_double_dynamics.argtypes = [
+        dbl_p, dbl_p, ctypes.c_double, dbl_p, dbl_p, dbl_p, dbl_p
+    ]
+    lib.co_double_dynamics.restype = None
+    lib.co_double_sim_step.argtypes = [
+        dbl_p, dbl_p, ctypes.c_double, ctypes.c_double, dbl_p
+    ]
+    lib.co_double_sim_step.restype = None
     _lib = lib
     return lib
 
@@ -148,6 +158,33 @@ def oracle_sim_step(params, x, dt, u, f_base=None, f_mass=None) -> np.ndarray:
     fm = _as_c(f_mass)[1] if f_mass is not None else None
     out = np.zeros(4)
     lib.co_single_sim_step(pp, xp, float(dt), float(u), fb, fm,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def oracle_double_dynamics(
+    params, x, u, f_base=None, f_mass=None, f_mass_2=None
+) -> np.ndarray:
+    """Native ``x_dot = f(x, u)`` for the double cart-pole."""
+    lib = _get_lib()
+    _, pp = _as_c(_params_vec(params))
+    _, xp = _as_c(x)
+    fb = _as_c(f_base)[1] if f_base is not None else None
+    f1 = _as_c(f_mass)[1] if f_mass is not None else None
+    f2 = _as_c(f_mass_2)[1] if f_mass_2 is not None else None
+    out = np.zeros(6)
+    lib.co_double_dynamics(pp, xp, float(u), fb, f1, f2,
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out
+
+
+def oracle_double_sim_step(params, x, dt, u) -> np.ndarray:
+    """Native 1 kHz-substep plant integration for the double cart-pole."""
+    lib = _get_lib()
+    _, pp = _as_c(_params_vec(params))
+    _, xp = _as_c(x)
+    out = np.zeros(6)
+    lib.co_double_sim_step(pp, xp, float(dt), float(u),
                            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     return out
 

@@ -86,6 +86,70 @@ void single_dynamics(const SingleParams& p, const double* x, double u,
   xd[3] = (p.m_1 * p.l_1 * s * rhs_b + (p.m_b + p.m_1) * rhs_th) / det;
 }
 
+// ---------------------------------------------------------------------------
+// Double-pendulum dynamics (cart + two-link pole; 6 params, 6-dim state).
+// ---------------------------------------------------------------------------
+
+struct DoubleParams {
+  double m_b, m_1, m_2, l_1, l_2, g;
+};
+
+// x = [b_x, th1, th2, b_v, th1_v, th2_v]
+void double_dynamics(const DoubleParams& p, const double* x, double u,
+                     const double* f_base, const double* f1, const double* f2,
+                     double* xd) {
+  const double th1 = x[1], th2 = x[2];
+  const double b_v = x[3], th1_v = x[4], th2_v = x[5];
+  const double s1 = std::sin(th1), c1 = std::cos(th1);
+  const double s2 = std::sin(th2), c2 = std::cos(th2);
+  const double s12 = s1 * c2 - c1 * s2;
+  const double c12 = c1 * c2 + s1 * s2;
+  const double m12 = p.m_1 + p.m_2;
+
+  // Symmetric mass matrix.
+  const double a11 = p.m_b + m12;
+  const double a12 = -m12 * p.l_1 * s1;
+  const double a13 = -p.m_2 * p.l_2 * s2;
+  const double a22 = m12 * p.l_1 * p.l_1;
+  const double a23 = p.m_2 * p.l_1 * p.l_2 * c12;
+  const double a33 = p.m_2 * p.l_2 * p.l_2;
+
+  double q_x = 0, q_1 = 0, q_2 = 0;
+  if (f_base) q_x += f_base[0];
+  if (f1) {
+    q_x += f1[0];
+    q_1 += p.l_1 * (-s1 * f1[0] + c1 * f1[1]);
+  }
+  if (f2) {
+    q_x += f2[0];
+    q_1 += p.l_1 * (-s1 * f2[0] + c1 * f2[1]);
+    q_2 += p.l_2 * (-s2 * f2[0] + c2 * f2[1]);
+  }
+
+  const double b1 = u + q_x + m12 * p.l_1 * c1 * th1_v * th1_v +
+                    p.m_2 * p.l_2 * c2 * th2_v * th2_v;
+  const double b2 = q_1 - p.m_2 * p.l_1 * p.l_2 * s12 * th2_v * th2_v -
+                    m12 * p.g * p.l_1 * c1;
+  const double b3 = q_2 + p.m_2 * p.l_1 * p.l_2 * s12 * th1_v * th1_v -
+                    p.m_2 * p.g * p.l_2 * c2;
+
+  // Adjugate solve of the symmetric 3x3 system.
+  const double cof11 = a22 * a33 - a23 * a23;
+  const double cof12 = a13 * a23 - a12 * a33;
+  const double cof13 = a12 * a23 - a13 * a22;
+  const double cof22 = a11 * a33 - a13 * a13;
+  const double cof23 = a12 * a13 - a11 * a23;
+  const double cof33 = a11 * a22 - a12 * a12;
+  const double det = a11 * cof11 + a12 * cof12 + a13 * cof13;
+
+  xd[0] = b_v;
+  xd[1] = th1_v;
+  xd[2] = th2_v;
+  xd[3] = (cof11 * b1 + cof12 * b2 + cof13 * b3) / det;
+  xd[4] = (cof12 * b1 + cof22 * b2 + cof23 * b3) / det;
+  xd[5] = (cof13 * b1 + cof23 * b2 + cof33 * b3) / det;
+}
+
 double mod_pi(double a) {
   // Wrap to (-pi, pi]: pi - mod(pi - a, 2 pi).
   double r = std::fmod(kPi - a, 2.0 * kPi);
@@ -630,6 +694,42 @@ int co_single_closed_loop(const double* params, const double* opt_params,
     std::memcpy(x, nxt, sizeof(x));
   }
   return 0;
+}
+
+// Double-pendulum dynamics: params 6 doubles; x 6; forces 2 each (nullable).
+void co_double_dynamics(const double* params, const double* x, double u,
+                        const double* f_base, const double* f1,
+                        const double* f2, double* x_dot) {
+  const DoubleParams p{params[0], params[1], params[2],
+                       params[3], params[4], params[5]};
+  double_dynamics(p, x, u, f_base, f1, f2, x_dot);
+}
+
+// 1 kHz substep plant integration + angle wraps for the double pendulum.
+void co_double_sim_step(const double* params, const double* x, double dt,
+                        double u, double* x_out) {
+  const DoubleParams p{params[0], params[1], params[2],
+                       params[3], params[4], params[5]};
+  double cur[6];
+  std::memcpy(cur, x, sizeof(cur));
+  const double internal = 1.0e-3;
+  while (dt > 0.0) {
+    const double h = dt < internal ? dt : internal;
+    double k1[6], k2[6], k3[6], k4[6], tmp[6];
+    double_dynamics(p, cur, u, nullptr, nullptr, nullptr, k1);
+    for (int i = 0; i < 6; ++i) tmp[i] = cur[i] + 0.5 * h * k1[i];
+    double_dynamics(p, tmp, u, nullptr, nullptr, nullptr, k2);
+    for (int i = 0; i < 6; ++i) tmp[i] = cur[i] + 0.5 * h * k2[i];
+    double_dynamics(p, tmp, u, nullptr, nullptr, nullptr, k3);
+    for (int i = 0; i < 6; ++i) tmp[i] = cur[i] + h * k3[i];
+    double_dynamics(p, tmp, u, nullptr, nullptr, nullptr, k4);
+    for (int i = 0; i < 6; ++i)
+      cur[i] += (h / 6.0) * (k1[i] + 2.0 * k2[i] + 2.0 * k3[i] + k4[i]);
+    cur[1] = mod_pi(cur[1]);
+    cur[2] = mod_pi(cur[2]);
+    dt -= h;
+  }
+  std::memcpy(x_out, cur, sizeof(cur));
 }
 
 }  // extern "C"

@@ -85,6 +85,44 @@ class TestNativeDynamicsParity:
         np.testing.assert_allclose(x_nat, np.asarray(x_jax), atol=1e-9)
 
 
+class TestNativeDoubleParity:
+    def test_double_dynamics_match(self):
+        from cartpole_tpu import DoubleCartPoleParams, double_cartpole_dynamics
+
+        p = DoubleCartPoleParams(m_b=0.9, m_1=0.12, m_2=0.07,
+                                 l_1=0.3, l_2=0.22, g=9.81)
+        rng = np.random.RandomState(6)
+        for _ in range(20):
+            x = rng.uniform(-2, 2, 6)
+            u = rng.uniform(-100, 100)
+            f = rng.uniform(-5, 5, 6)
+            got = native.oracle_double_dynamics(
+                p, x, u, f[:2], f[2:4], f[4:]
+            )
+            want = np.asarray(
+                double_cartpole_dynamics(
+                    p, jnp.asarray(x), u, f[:2], f[2:4], f[4:]
+                )
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+    def test_double_sim_step_match(self):
+        from cartpole_tpu import DoubleCartPoleParams
+        from cartpole_tpu.models import DOUBLE_CARTPOLE
+
+        p = DoubleCartPoleParams()
+        rng = np.random.RandomState(7)
+        for _ in range(5):
+            x = rng.uniform(-1, 1, 6)
+            u = rng.uniform(-50, 50)
+            got = native.oracle_double_sim_step(p, x, 0.01, u)
+            want = np.asarray(
+                simulator_step(p, jnp.asarray(x), 0.01, u,
+                               model=DOUBLE_CARTPOLE)
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-11, atol=1e-11)
+
+
 class TestNativeClosedLoopParity:
     def test_u_sequence_within_1e4(self):
         """Closed-loop control parity (BASELINE.json: max-abs u error

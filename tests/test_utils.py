@@ -122,6 +122,29 @@ class TestSolveLog:
         assert "iter  0" in text
 
 
+class TestParamsJson:
+    def test_dynamics_params_round_trip(self):
+        """Same field-name surface the reference serializes (wasm.cc:19-28)."""
+        import json
+
+        from cartpole_tpu import SingleCartPoleParams
+
+        p = SingleCartPoleParams(m_b=1.3, k_s=77.0)
+        payload = p.to_json()
+        data = json.loads(payload)
+        assert set(data) == {
+            "m_b", "m_1", "l_1", "g", "mu_b", "v_mu_b", "c_d_1", "x_s", "k_s"
+        }
+        q = SingleCartPoleParams.from_json(payload)
+        assert q == p
+
+    def test_optimization_params_round_trip(self):
+        from cartpole_tpu import OptimizationParams
+
+        p = OptimizationParams(window_length=60, state_spacing=5)
+        assert OptimizationParams.from_json(p.to_json()) == p
+
+
 class TestCheckpoint:
     def test_mpc_state_round_trip(self, tmp_path):
         mpc, _, state = _one_solve()
