@@ -461,12 +461,19 @@ class MPCProblemSpec:
                     if spec.is_angle:
                         diff = mod_pi(diff)
                     c_vals.append(diff)
-                c_bar = jnp.stack(c_vals) + jnp.stack(
+                c_term = jnp.stack(c_vals)
+                c_bar = c_term + jnp.stack(
                     [m_N[spec.coord] for spec in term_eqs]
                 )
             else:
                 A_bar = jnp.zeros((0, K), dtype)
+                c_term = jnp.zeros((0,), dtype)
                 c_bar = jnp.zeros((0,), dtype)
+
+            # Full constraint values at z (same layout as constraints()):
+            # the condensing rollout already produced defect and pin, so the
+            # solver needs no separate evaluate() per iteration.
+            c_full = jnp.concatenate([defect.reshape(-1), pin, c_term])
 
             # Reduced damped-GN KKT via Cholesky + tiny Schur complement.
             H_bar = J_bar.T @ J_bar + lam * jnp.eye(K, dtype=dtype)
@@ -536,6 +543,6 @@ class MPCProblemSpec:
                 & jnp.all(jnp.isfinite(nu_bar))
                 & jnp.all(jnp.isfinite(jnp.diagonal(L)))
             )
-            return dz, nu_inf, first_order, jr_dz, ok
+            return dz, nu_inf, first_order, jr_dz, ok, r, c_full
 
         return condensed_step

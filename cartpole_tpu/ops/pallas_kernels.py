@@ -19,7 +19,6 @@ kernel.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax

@@ -129,13 +129,16 @@ class NLSProblem:
 
     ``condensed_step`` (optional): structure-exploiting replacement for the
     dense linearize+KKT step: ``(z, lam) -> (dz, nu_inf, first_order,
-    jr_dz, ok)`` where ``dz`` is the damped Gauss-Newton step (satisfying
-    the linearized constraints), ``nu_inf`` the inf-norm of ALL equality
-    multipliers (for the merit penalty ramp), ``first_order`` the reduced
-    Lagrangian-gradient inf-norm, ``jr_dz`` the exact directional
-    derivative ``(J^T r) . dz``, and ``ok`` a finite/solvable flag. The
-    solver's globalization (merit line search, LM damping, termination) is
-    shared between the dense and condensed paths.
+    jr_dz, ok, r, c)`` where ``dz`` is the damped Gauss-Newton step
+    (satisfying the linearized constraints), ``nu_inf`` the inf-norm of ALL
+    equality multipliers (for the merit penalty ramp), ``first_order`` the
+    reduced Lagrangian-gradient inf-norm, ``jr_dz`` the exact directional
+    derivative ``(J^T r) . dz``, ``ok`` a finite/solvable flag, and
+    ``(r, c)`` the residual/constraint values at ``z`` (the condensing
+    rollout already computes them — returning them avoids a second segment
+    rollout per iteration). The solver's globalization (merit line search,
+    LM damping, termination) is shared between the dense and condensed
+    paths.
     """
 
     linearize: Callable[[Any], Any]
@@ -320,9 +323,8 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         z, lam, mu, merit_prev, done, term, fo_carry = carry
 
         if use_condensed:
-            r, c = problem.evaluate(z)
-            dz, nu_inf, first_order, jr_dz, qp_ok = problem.condensed_step(
-                z, lam
+            dz, nu_inf, first_order, jr_dz, qp_ok, r, c = (
+                problem.condensed_step(z, lam)
             )
         else:
             r, J, c, A = problem.linearize(z)

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..mpc.closed_loop import run_closed_loop
-from ..mpc.controller import MPC, MPCState
+from ..mpc.controller import MPC
 from ..ops.solver import NLSOutputs, NLSTerminationState
 from .mesh import SCENARIO_AXIS
 

@@ -110,10 +110,13 @@ class TestAltKKTParity:
         lin, _, _ = spec.make_problem_fns(x0, zero, u_prev, dp)
         cstep = spec.make_condensed_step(x0, zero, u_prev, dp)
         r, J, c, A = lin(z)
-        dz, nu_inf, first_order, jr_dz, ok = cstep(z, zero)
+        dz, nu_inf, first_order, jr_dz, ok, r_c, c_c = cstep(z, zero)
         assert bool(ok)
         assert float(jnp.abs(A @ dz + c).max()) < 1e-8
         # Exact directional derivative matches the dense computation.
         np.testing.assert_allclose(
             float(jr_dz), float(jnp.vdot(J.T @ r, dz)), rtol=1e-6
         )
+        # The returned residual/constraint values match the dense path.
+        np.testing.assert_allclose(np.asarray(r_c), np.asarray(r), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(c_c), np.asarray(c), atol=1e-12)
