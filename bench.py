@@ -20,6 +20,7 @@ Usage: python bench.py [--batch 4096] [--ticks 100] [--reps 3] [--f64]
 import argparse
 import json
 import math
+import os
 import sys
 import time
 
@@ -28,6 +29,13 @@ import jax.numpy as jnp
 import numpy as np
 
 BASELINE_SOLVES_PER_S = 100.0  # 1 solve / 10 ms real-time budget, 1 thread.
+
+# Persistent compilation cache: the tunneled-TPU AOT compile of the
+# closed-loop program costs ~5 min; cached runs skip it entirely.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def main(argv=None):
