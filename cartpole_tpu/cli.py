@@ -98,10 +98,11 @@ def _cmd_closed_loop(args) -> int:
         )
     )
     t0 = time.perf_counter()
-    res = jax.block_until_ready(run(x0))
-    wall = time.perf_counter() - t0
-
+    res = run(x0)
+    # Sync via host transfer: block_until_ready returns early on
+    # tunneled-TPU platforms (see CLAUDE.md).
     term = np.asarray(res.termination_states)
+    wall = time.perf_counter() - t0
     xf = np.asarray(res.final_state)
     summary = {
         "steps": args.steps,
@@ -167,10 +168,11 @@ def _cmd_sweep(args) -> int:
 
     run = make_sharded_closed_loop(mpc, mesh, num_steps=args.steps)
     t0 = time.perf_counter()
-    result, diag = jax.block_until_ready(run(x0s, dynamics_params, sps))
-    wall = time.perf_counter() - t0
-
+    result, diag = run(x0s, dynamics_params, sps)
+    # Sync via host transfer (block_until_ready can return early on
+    # tunneled-TPU platforms).
     xf = np.asarray(result.final_state)
+    wall = time.perf_counter() - t0
     upright = np.abs(xf[:, mpc.model.angle_indices[0]] - math.pi / 2) < 1e-2
     print(
         json.dumps(

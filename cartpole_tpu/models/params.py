@@ -45,7 +45,13 @@ def _pytree_dataclass(cls):
 
         data = json.loads(payload)
         known = {f.name for f in dataclasses.fields(klass)}
-        return klass(**{k: v for k, v in data.items() if k in known})
+        unknown = sorted(set(data) - known)
+        if unknown:
+            raise ValueError(
+                f"unknown {klass.__name__} field(s) {unknown}; "
+                f"known fields: {sorted(known)}"
+            )
+        return klass(**data)
 
     cls.to_json = to_json
     cls.from_json = from_json

@@ -68,6 +68,8 @@ class OptimizationParams:
             raise ValueError("control_dt must be > 0")
         if self.window_length < 1:
             raise ValueError("window_length must be >= 1")
+        if self.state_spacing < 1:
+            raise ValueError("state_spacing must be >= 1")
         if self.window_length % self.state_spacing != 0:
             raise ValueError(
                 f"state_spacing ({self.state_spacing}) must divide window_length "
@@ -92,7 +94,13 @@ class OptimizationParams:
     def from_json(cls, payload: str) -> "OptimizationParams":
         data = json.loads(payload)
         known = {f.name for f in dataclasses.fields(cls)}
-        return cls(**{k: v for k, v in data.items() if k in known})
+        unknown = sorted(set(data) - known)
+        if unknown:
+            raise ValueError(
+                f"unknown OptimizationParams field(s) {unknown}; "
+                f"known fields: {sorted(known)}"
+            )
+        return cls(**data)
 
     def replace(self, **kwargs) -> "OptimizationParams":
         return dataclasses.replace(self, **kwargs)

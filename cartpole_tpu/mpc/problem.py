@@ -12,7 +12,9 @@ pure functions over the decision vector plus *precomputed static structure*:
   nonlinear defect blocks come from ``jax.jacfwd`` of the segment rollout
   (vmapped over segments — replacing the reference's sequential
   RK4-with-Jacobians chain rule, ``optimization.cc:110-155``), and are
-  assembled by einsum against static selection masks (no scatters).
+  assembled by einsum against static selection masks (no scatters);
+* ``make_condensed_step`` additionally exploits that structure to eliminate
+  the defect+pin rows exactly (the ``kkt_method="condensed"`` fast path).
 
 Decision vector layout matches the reference (``optimization.cc:24-37``)::
 

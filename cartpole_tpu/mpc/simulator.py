@@ -56,9 +56,12 @@ class Simulator:
     (``[0, -pi/2, 0, 0]`` for the single model; angles at -pi/2 generally).
     """
 
-    def __init__(self, model: CartPoleModel = SINGLE_CARTPOLE, dtype=jnp.float64):
+    def __init__(self, model: CartPoleModel = SINGLE_CARTPOLE, dtype=None):
         self.model = model
-        n_q = model.state_dim // 2
+        if dtype is None:
+            # f64 parity precision when x64 is enabled; otherwise use f32
+            # rather than letting JAX silently truncate a requested f64.
+            dtype = jnp.float64 if jnp.zeros(()).dtype == jnp.float64 else jnp.float32
         x0 = [0.0] * model.state_dim
         for a in model.angle_indices:
             x0[a] = -math.pi / 2

@@ -11,10 +11,13 @@ Gridless by necessity: this runtime's Pallas pipeline compiles whole-array
 kernels quickly but hangs on ``grid=`` kernels, so the caller chunks the
 flattened axis and emits one ``pallas_call`` per chunk.
 
-Wired into the MPC via ``jax.custom_batching.custom_vmap`` (see
-``mpc/problem.py``): per-instance tracing uses the plain chain-rule path;
-under ``vmap`` the batched rule reshapes to batch-last and calls this
-kernel.
+STATUS: interpret-validated (tests/test_pallas_kernel.py) but NOT wired
+into the MPC hot path — the current single-chip tunnel's Mosaic compile
+hangs indefinitely on kernels of this size (CLAUDE.md). The intended
+integration on a runtime that can compile it: wrap with
+``jax.custom_batching.custom_vmap`` in ``mpc/problem.py`` so per-instance
+tracing keeps the chain-rule path and the vmapped rule reshapes to
+batch-last and calls this kernel.
 """
 
 from __future__ import annotations

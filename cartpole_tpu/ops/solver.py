@@ -296,6 +296,18 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         nu = nu_s * rrow
         return dz, nu
 
+    if config.kkt_method not in ("lu", "schur", "condensed"):
+        raise ValueError(
+            f"unknown kkt_method {config.kkt_method!r}; "
+            "expected 'lu', 'schur', or 'condensed'"
+        )
+    if config.kkt_method == "condensed" and problem.condensed_step is None:
+        raise ValueError(
+            "kkt_method='condensed' requires the problem to provide a "
+            "condensed_step (the MPC layer builds one; generic NLSProblems "
+            "should use 'lu' or 'schur')"
+        )
+
     def kkt_solve(J, r, A, c, lam):
         """Damped Gauss-Newton KKT step. Returns (dz, nu, ok)."""
         if has_eq:
@@ -317,7 +329,7 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
     def c_inf(c):
         return jnp.max(jnp.abs(c)) if has_eq else jnp.zeros((), dtype)
 
-    use_condensed = problem.condensed_step is not None
+    use_condensed = config.kkt_method == "condensed"
 
     def iteration(carry, _):
         z, lam, mu, merit_prev, done, term, fo_carry = carry

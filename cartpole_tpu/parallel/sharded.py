@@ -55,6 +55,28 @@ class BatchDiagnostics(NamedTuple):
     mean_cost: Any  #: mean final cost.
 
 
+def _termination_counts(term_flat):
+    """Histogram a flat termination-code array (psum-able int32 vector)."""
+    return jnp.sum(
+        term_flat[:, None]
+        == jnp.arange(_N_TERMINATION_STATES, dtype=term_flat.dtype)[None, :],
+        axis=0,
+        dtype=jnp.int32,
+    )
+
+
+def _converged_failed(counts):
+    converged = (
+        counts[NLSTerminationState.SATISFIED_RELATIVE_TOL]
+        + counts[NLSTerminationState.SATISFIED_FIRST_ORDER_TOL]
+    )
+    failed = (
+        counts[NLSTerminationState.QP_INDEFINITE]
+        + counts[NLSTerminationState.MAX_LAMBDA]
+    )
+    return converged, failed
+
+
 def reduce_diagnostics(
     solver: NLSOutputs,
     axis_name: Optional[str] = None,
@@ -67,24 +89,9 @@ def reduce_diagnostics(
     only Sum all-reduces are required of the runtime.
     """
     term = solver.termination_state.reshape(-1)
-    n_local = term.shape[0]
-
-    counts = jnp.sum(
-        term[:, None] == jnp.arange(_N_TERMINATION_STATES, dtype=term.dtype)[None, :],
-        axis=0,
-        dtype=jnp.int32,
-    )
-    converged = jnp.sum(
-        (term == NLSTerminationState.SATISFIED_RELATIVE_TOL)
-        | (term == NLSTerminationState.SATISFIED_FIRST_ORDER_TOL),
-        dtype=jnp.int32,
-    )
-    failed = jnp.sum(
-        (term == NLSTerminationState.QP_INDEFINITE)
-        | (term == NLSTerminationState.MAX_LAMBDA),
-        dtype=jnp.int32,
-    )
-    n = jnp.asarray(n_local, jnp.int32)
+    counts = _termination_counts(term)
+    converged, failed = _converged_failed(counts)
+    n = jnp.asarray(term.shape[0], jnp.int32)
     max_viol = jnp.max(solver.constraint_violation)
     max_first = jnp.max(solver.first_order_norm)
     sum_iters = jnp.sum(solver.n_iterations.astype(jnp.float32))
@@ -183,18 +190,13 @@ def make_sharded_closed_loop(
         in_axes=(0, p_axis, 0),
     )
 
+    axis_size = int(mesh.shape[axis_name])
+
     def local_run(x0s, dynamics_params, set_points):
         result = batched(x0s, dynamics_params, set_points)
         term = result.termination_states.reshape(-1)  # instances * ticks
-        counts = jax.lax.psum(
-            jnp.sum(
-                term[:, None]
-                == jnp.arange(_N_TERMINATION_STATES, dtype=term.dtype)[None, :],
-                axis=0,
-                dtype=jnp.int32,
-            ),
-            axis_name,
-        )
+        counts = jax.lax.psum(_termination_counts(term), axis_name)
+        converged, failed = _converged_failed(counts)
         n_solves = jax.lax.psum(jnp.asarray(term.shape[0], jnp.int32), axis_name)
         sum_iters = jax.lax.psum(
             jnp.sum(result.solver_iterations.astype(jnp.float32)), axis_name
@@ -203,15 +205,11 @@ def make_sharded_closed_loop(
             n_instances=jax.lax.psum(
                 jnp.asarray(x0s.shape[0], jnp.int32), axis_name
             ),
-            n_converged=counts[NLSTerminationState.SATISFIED_RELATIVE_TOL]
-            + counts[NLSTerminationState.SATISFIED_FIRST_ORDER_TOL],
-            n_failed=counts[NLSTerminationState.QP_INDEFINITE]
-            + counts[NLSTerminationState.MAX_LAMBDA],
+            n_converged=converged,
+            n_failed=failed,
             termination_counts=counts,
             max_violation=_pmax_via_psum(
-                jnp.max(result.constraint_violations),
-                axis_name,
-                int(mesh.shape[axis_name]),
+                jnp.max(result.constraint_violations), axis_name, axis_size
             ),
             max_first_order=jnp.asarray(jnp.nan),  # not tracked per tick
             mean_iterations=sum_iters

@@ -21,9 +21,6 @@ from ..ops.solver import NLSOutputs, termination_state_name
 
 __all__ = ["solve_log_entry", "solver_summary", "SolveLog"]
 
-#: State field names in reference JSON order (``wasm.cc:19``).
-_SINGLE_STATE_FIELDS = ("b_x", "th_1", "th_1_dot", "b_x_dot")
-
 
 def _state_dict(x: np.ndarray) -> dict:
     x = np.asarray(x)

@@ -151,8 +151,6 @@ def animate_closed_loop(
         ax.clear()
         ax.axhline(0.0, color="k", lw=1.0)
         _draw_cartpole(ax, states[i], lengths)
-        if controls[i]:
-            draw = None  # arrow folded into title for speed
         ax.set_title(
             f"t = {i * stride * control_dt:.2f} s   u = {controls[i]:+7.1f} N"
         )
