@@ -1,0 +1,55 @@
+"""CLI smoke tests — the ``model/scratch.py``-analog entry points."""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+
+REPO = str(pathlib.Path(__file__).resolve().parent.parent)
+
+
+def _run(*args):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return subprocess.run(
+        [sys.executable, "-m", "cartpole_tpu", *args],
+        capture_output=True, text=True, timeout=400, env=env, cwd=REPO,
+    )
+
+
+class TestCli:
+    def test_solve(self):
+        res = _run("solve", "--cpu", "--params", '{"max_iterations": 3}')
+        assert res.returncode == 0, res.stderr[-2000:]
+        assert "termination" in res.stdout
+
+    def test_closed_loop_with_log(self, tmp_path):
+        log = tmp_path / "log.json"
+        res = _run(
+            "closed-loop", "--cpu", "--steps", "25",
+            "--params", '{"max_iterations": 3}',
+            "--log-json", str(log),
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        summary = json.loads(res.stdout.split("wrote")[0])
+        assert summary["steps"] == 25
+        assert summary["n_failed"] == 0
+        entries = json.loads(log.read_text())
+        assert len(entries) == 25
+        assert set(entries[0]) == {"state", "u", "termination_state"}
+
+    def test_sweep(self):
+        res = _run(
+            "sweep", "--cpu", "--batch", "8", "--steps", "5",
+            "--params", '{"max_iterations": 2}',
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        summary = json.loads(res.stdout)
+        assert summary["batch"] == 8
+        assert summary["n_failed_solves"] == 0
+
+    def test_bad_params_rejected(self):
+        res = _run("solve", "--cpu", "--params", '{"windowlength": 60}')
+        assert res.returncode != 0
+        assert "unknown OptimizationParams field" in (res.stderr + res.stdout)
