@@ -29,10 +29,13 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--steps", type=int, default=150)
     ap.add_argument("--f64", action="store_true")
+    ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--checkpoint", default=None,
                     help="save final warm-start states to this .npz")
     args = ap.parse_args()
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
