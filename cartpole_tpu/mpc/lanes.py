@@ -1,0 +1,729 @@
+"""Batch-in-lanes MPC step — the TPU-layout rewrite of the hot path.
+
+Round 1 measured the vmapped condensed solver bandwidth-bound at ~17.5k
+solves/s/chip, flat from batch 1024 to 32768: per-instance ``(4, 4)``
+Jacobian pages pad to TPU ``(8, 128)`` tiles under ``vmap`` (~64x HBM
+overhead on every rollout intermediate). This module re-implements the
+condensed Gauss-Newton MPC step with the batch in the TRAILING (lane) axis
+— every intermediate is ``(sd, M)`` / ``(sd, sd, M)``, tile padding <= 2x —
+using the machine-generated closed-form dynamics Jacobians
+(``models/_*_gen.py``) chained through the batch-last RK4 of
+``ops/lanes.py``.
+
+Semantics are identical to ``vmap(MPC.step)`` with
+``kkt_method="condensed"`` + ``analytic_jacobians=True``: same problem
+structure (``mpc/problem.py``), same globalization (exact-penalty merit,
+parallel Armijo backtracking, LM damping, per-instance freeze — see
+``ops/solver.py``), same diagnostics PyTree. Only the memory layout
+differs; tests assert tick-for-tick equivalence in f64.
+
+Reference capability: the hot loop of
+``/root/reference/optimization/optimization.cc:110-155`` (residual +
+Jacobian evaluation) and the mini_opt inner solve, batched over thousands
+of independent MPC instances per chip.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.integrate import mod_pi
+from ..ops.lanes import (
+    bmv,
+    rollout_lanes,
+    segment_rollout_with_jac_lanes,
+)
+from ..ops.solver import NLSConfig, NLSOutputs, NLSTerminationState
+from .closed_loop import ClosedLoopResult
+from .controller import MPC, MPCOutputs, MPCState
+from .problem import _tiny_spd_solve
+
+__all__ = ["step_lanes", "run_closed_loop_lanes", "simulator_step_lanes"]
+
+
+class _Z(NamedTuple):
+    """Lanes-layout decision iterate: shooting states + controls."""
+
+    xs: Any  #: (sd, N, B)
+    u: Any  #: (K, B)
+
+
+def _param_folder(dynamics_params, batch: int):
+    """Return ``fold(reps)``: dynamics params broadcastable against a
+    ``(..., reps * batch)`` folded lane axis. Scalar leaves pass through;
+    per-instance ``(B,)`` leaves are tiled across the fold."""
+
+    def fold(reps: int):
+        if reps == 1:
+            return dynamics_params
+
+        def one(leaf):
+            leaf = jnp.asarray(leaf)
+            if leaf.ndim == 0:
+                return leaf
+            assert leaf.shape == (batch,), leaf.shape
+            return jnp.broadcast_to(leaf, (reps, batch)).reshape(-1)
+
+        return jax.tree.map(one, dynamics_params)
+
+    return fold
+
+
+def _wrap_rows(arr, angle_indices):
+    """mod_pi the given leading-axis rows of ``arr`` (sd, ...)."""
+    for a in angle_indices:
+        arr = arr.at[a].set(mod_pi(arr[a]))
+    return arr
+
+
+class _LanesProblem:
+    """Per-solve closures over the lanes iterate (the batch-last analog of
+    ``MPCProblemSpec.make_problem_fns`` + ``make_condensed_step``)."""
+
+    def __init__(self, spec, x_current, set_point, u_prev, dynamics_params):
+        # x_current (sd, B); set_point, u_prev (B,).
+        self.spec = spec
+        self.x_current = x_current
+        self.set_point = set_point
+        self.u_prev = u_prev
+        self.B = x_current.shape[1]
+        self.fold = _param_folder(dynamics_params, self.B)
+        self.dtype = x_current.dtype
+        p = spec.params
+        sd, N, sp, K = (
+            spec.state_dim, spec.num_states, spec.spacing, spec.window_length
+        )
+        self.sd, self.N, self.sp, self.K = sd, N, sp, K
+        self.S = N - 1
+        # Static u-only cost structure (precomputed once, numpy).
+        self._Ju_cost = np.asarray(spec._J_cost_u)  # (n_u, K)
+        self._Hu = self._Ju_cost.T @ self._Ju_cost  # (K, K)
+        self.n_tc = len(spec.terminal_costs)
+        self.n_t = len(spec.terminal_eqs)
+
+    # ------------------------------------------------------------ residuals
+    def cost_residuals(self, Z: _Z):
+        """(n_res, B) — row order matches ``MPCProblemSpec.cost_residuals``."""
+        spec, p = self.spec, self.spec.params
+        dtype = Z.u.dtype
+        xN = Z.xs[:, -1, :]  # (sd, B)
+        pieces = []
+        for ts in spec.terminal_costs:
+            target = (
+                self.set_point if ts.is_setpoint
+                else jnp.asarray(ts.target, dtype)
+            )
+            diff = xN[ts.coord] - target
+            if ts.is_angle:
+                diff = mod_pi(diff)
+            pieces.append((ts.weight * diff)[None])
+        u = Z.u
+        if p.u_derivative_cost_weight > 0.0:
+            w = p.u_derivative_cost_weight
+            pieces.append(w * (u[:-1] - u[1:]))
+            pieces.append((w * (u[0] - self.u_prev))[None])
+        if p.u_cost_weight > 0.0:
+            pieces.append(p.u_cost_weight * u)
+        if not pieces:
+            return jnp.zeros((0, self.B), dtype)
+        return jnp.concatenate(pieces, axis=0)
+
+    def _terminal_eq_residuals(self, Z: _Z):
+        spec = self.spec
+        dtype = Z.u.dtype
+        xN = Z.xs[:, -1, :]
+        vals = []
+        for ts in spec.terminal_eqs:
+            target = (
+                self.set_point if ts.is_setpoint
+                else jnp.asarray(ts.target, dtype)
+            )
+            diff = xN[ts.coord] - target
+            if ts.is_angle:
+                diff = mod_pi(diff)
+            vals.append(diff)
+        if not vals:
+            return jnp.zeros((0, self.B), dtype)
+        return jnp.stack(vals)
+
+    # ------------------------------------------------------------- segments
+    def _fold_segments(self, Z: _Z):
+        """-> (x_start (sd, S*B), useg (sp, S*B))."""
+        sd, S, sp, B = self.sd, self.S, self.sp, self.B
+        x_start = Z.xs[:, :-1, :].reshape(sd, S * B)
+        useg = Z.u.reshape(S, sp, B).transpose(1, 0, 2).reshape(sp, S * B)
+        return x_start, useg
+
+    def _constraints(self, Z: _Z):
+        """Full equality-constraint values, (n_eq, B); row order matches
+        ``MPCProblemSpec.constraints`` (defects s-major, pins, terminal)."""
+        spec = self.spec
+        sd, S, B = self.sd, self.S, self.B
+        model, p = spec.model, spec.params
+        x_start, useg = self._fold_segments(Z)
+        dp = self.fold(S)
+        f = lambda x_, u_: model.dynamics(dp, x_, u_)
+        x_end = rollout_lanes(
+            f, x_start, useg, p.control_dt, model.angle_indices
+        ).reshape(sd, S, B)
+        defect = _wrap_rows(x_end - Z.xs[:, 1:, :], model.angle_indices)
+        pin = _wrap_rows(
+            Z.xs[:, 0, :] - self.x_current, model.angle_indices
+        )
+        c_term = self._terminal_eq_residuals(Z)
+        return jnp.concatenate(
+            [defect.transpose(1, 0, 2).reshape(S * sd, B), pin, c_term],
+            axis=0,
+        )
+
+    def evaluate(self, Z: _Z):
+        return self.cost_residuals(Z), self._constraints(Z)
+
+    def retract(self, Z: _Z, dZ: _Z, alpha):
+        """Clamp/wrap retraction (``optimization.cc:309-329``); ``alpha``
+        is a scalar or per-instance ``(B,)``."""
+        spec, p = self.spec, self.spec.params
+        a = jnp.asarray(alpha, Z.u.dtype)
+        xs = Z.xs + a * dZ.xs
+        u = jnp.clip(Z.u + a * dZ.u, -p.u_limit, p.u_limit)
+        xs = _wrap_rows(xs, spec.model.angle_indices)
+        xs = xs.at[0].set(jnp.clip(xs[0], -p.b_x_limit, p.b_x_limit))
+        return _Z(xs=xs, u=u)
+
+    # ------------------------------------------------------------ condensed
+    def condensed_step(self, Z: _Z, lam):
+        """Batch-last condensed damped-GN step; same math as
+        ``MPCProblemSpec.make_condensed_step`` (see there for the
+        derivation), ``lam`` per-instance ``(B,)``.
+
+        Returns ``(dZ, nu_inf, first_order, jr_dz, ok, r, c_full)`` with
+        per-instance ``(B,)`` scalars.
+        """
+        spec = self.spec
+        sd, S, sp, K, B = self.sd, self.S, self.sp, self.K, self.B
+        model, p = spec.model, spec.params
+        dtype = Z.u.dtype
+        term_costs, term_eqs = spec.terminal_costs, spec.terminal_eqs
+        n_tc, n_t = self.n_tc, self.n_t
+
+        x_start, useg = self._fold_segments(Z)
+        dp = self.fold(S)
+        fj = lambda x_, u_: model.dynamics_jac(dp, x_, u_)
+        x_end, Jx, Ju = segment_rollout_with_jac_lanes(
+            fj, x_start, useg, p.control_dt, model.angle_indices
+        )
+        x_end = x_end.reshape(sd, S, B)
+        Jx = Jx.reshape(sd, sd, S, B)
+        Ju = Ju.reshape(sd, sp, S, B)
+        defect = _wrap_rows(x_end - Z.xs[:, 1:, :], model.angle_indices)
+        pin = _wrap_rows(Z.xs[:, 0, :] - self.x_current, model.angle_indices)
+
+        # Forward condensation: dx_s = M_s du + m_s (unrolled; S is small
+        # and static, and unrolling keeps the Ju column updates static).
+        M = jnp.zeros((sd, K, B), dtype)
+        m = -pin
+        for s in range(S):
+            jx_s = Jx[:, :, s, :]
+            M = jnp.sum(jx_s[:, :, None, :] * M[None, :, :, :], axis=1)
+            M = M.at[:, s * sp:(s + 1) * sp, :].set(Ju[:, :, s, :])
+            m = bmv(jx_s, m) + defect[:, s, :]
+
+        r = self.cost_residuals(Z)
+        r_term = r[:n_tc]
+        r_u = r[n_tc:]
+        if n_tc:
+            term_J = jnp.stack(
+                [ts.weight * M[ts.coord] for ts in term_costs]
+            )  # (n_tc, K, B)
+            term_aff = jnp.stack(
+                [ts.weight * m[ts.coord] for ts in term_costs]
+            )  # (n_tc, B)
+            r_bar_term = r_term + term_aff
+            H_t = jnp.sum(
+                term_J[:, :, None, :] * term_J[:, None, :, :], axis=0
+            )  # (K, K, B)
+            g_t = jnp.sum(term_J * r_bar_term[:, None, :], axis=0)  # (K, B)
+        else:
+            term_J = jnp.zeros((0, K, B), dtype)
+            term_aff = jnp.zeros((0, B), dtype)
+            r_bar_term = r_term
+            H_t = jnp.zeros((K, K, B), dtype)
+            g_t = jnp.zeros((K, B), dtype)
+
+        eye_K = jnp.asarray(np.eye(K), dtype)
+        H = (
+            H_t
+            + jnp.asarray(self._Hu, dtype)[:, :, None]
+            + lam[None, None, :] * eye_K[:, :, None]
+        )
+        g = g_t + jnp.asarray(self._Ju_cost.T, dtype) @ r_u
+
+        c_term = self._terminal_eq_residuals(Z)
+        if n_t:
+            A_bar = jnp.stack([M[ts.coord] for ts in term_eqs])  # (n_t,K,B)
+            c_bar = c_term + jnp.stack([m[ts.coord] for ts in term_eqs])
+        else:
+            A_bar = jnp.zeros((0, K, B), dtype)
+            c_bar = jnp.zeros((0, B), dtype)
+
+        # KKT solve: the only stage in matrix-page layout — XLA's batched
+        # Cholesky wants (B, K, K); transposes here are two orders of
+        # magnitude cheaper than the rollout traffic they replace.
+        Hb = jnp.transpose(H, (2, 0, 1))
+        L = jnp.linalg.cholesky(Hb)
+
+        def h_solve(rhs_rows):
+            """Solve H x = rhs for stacked rows (n, K, B) -> (n, K, B)."""
+            rb = jnp.transpose(rhs_rows, (2, 1, 0))  # (B, K, n)
+            sol = jax.scipy.linalg.cho_solve((L, True), rb)
+            return jnp.transpose(sol, (2, 1, 0))
+
+        sol = h_solve(jnp.concatenate([A_bar, g[None]], axis=0))
+        HiAt, Hig = sol[:n_t], sol[n_t]
+        if n_t:
+            S_bar = jnp.sum(
+                A_bar[:, None, :, :] * HiAt[None, :, :, :], axis=2
+            ) + 1e-12 * jnp.asarray(np.eye(n_t), dtype)[:, :, None]
+            A_Hig = jnp.sum(A_bar * Hig[None], axis=1)
+            nu = _tiny_spd_solve(S_bar, c_bar - A_Hig)  # (n_t, B)
+            du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
+            # One factor-reusing refinement step (f32 digit recovery).
+            H_du = jnp.sum(H * du[None], axis=1)
+            At_nu = jnp.sum(A_bar * nu[:, None, :], axis=0)
+            res_d = -g - (H_du + At_nu)
+            res_c = -c_bar - jnp.sum(A_bar * du[None], axis=1)
+            Hi_rd = h_solve(res_d[None])[0]
+            e_y = _tiny_spd_solve(
+                S_bar, jnp.sum(A_bar * Hi_rd[None], axis=1) - res_c
+            )
+            du = du + Hi_rd - jnp.sum(HiAt * e_y[:, None, :], axis=0)
+            nu = nu + e_y
+        else:
+            nu = jnp.zeros((0, B), dtype)
+            du = -Hig
+
+        # Expand the state step by the forward recursion.
+        dx = -pin
+        dxs = [dx]
+        for s in range(S):
+            du_s = du[s * sp:(s + 1) * sp]  # (sp, B)
+            dx = (
+                bmv(Jx[:, :, s, :], dx)
+                + jnp.sum(Ju[:, :, s, :] * du_s[None], axis=1)
+                + defect[:, s, :]
+            )
+            dxs.append(dx)
+        dZ = _Z(xs=jnp.stack(dxs, axis=1), u=du)
+
+        # Exact directional derivative (J^T r) . dz.
+        Jdu_term = jnp.sum(term_J * du[None], axis=1)  # (n_tc, B)
+        Jdu_u = jnp.asarray(self._Ju_cost, dtype) @ du  # (n_u, B)
+        jr_dz = jnp.sum(r_term * (Jdu_term + term_aff), axis=0) + jnp.sum(
+            r_u * Jdu_u, axis=0
+        )
+
+        # Eliminated multipliers (post-step estimate) for the merit ramp.
+        r_lin_term = r_bar_term + Jdu_term
+        gN = jnp.zeros((sd, B), dtype)
+        for i, ts in enumerate(term_costs):
+            gN = gN.at[ts.coord].add(ts.weight * r_lin_term[i])
+        for j, ts in enumerate(term_eqs):
+            gN = gN.at[ts.coord].add(nu[j])
+        pi = gN
+        pi_max = jnp.zeros((B,), dtype)
+        for s in reversed(range(S)):
+            pi_max = jnp.maximum(pi_max, jnp.max(jnp.abs(pi), axis=0))
+            pi = jnp.sum(Jx[:, :, s, :] * pi[:, None, :], axis=0)
+        sigma_inf = jnp.max(jnp.abs(pi), axis=0)
+        nu_abs = (
+            jnp.max(jnp.abs(nu), axis=0) if n_t else jnp.zeros((B,), dtype)
+        )
+        nu_inf = jnp.maximum(nu_abs, jnp.maximum(pi_max, sigma_inf))
+
+        # Unified first-order diagnostic (see MPCProblemSpec.
+        # make_condensed_step): full-z Lagrangian gradient inf-norm with
+        # the eliminated multipliers from the PRE-step residuals.
+        gN_pre = jnp.zeros((sd, B), dtype)
+        for i, ts in enumerate(term_costs):
+            gN_pre = gN_pre.at[ts.coord].add(ts.weight * r_term[i])
+        for j, ts in enumerate(term_eqs):
+            gN_pre = gN_pre.at[ts.coord].add(nu[j])
+        pi = gN_pre
+        gu = [None] * S
+        for s in reversed(range(S)):
+            gu[s] = jnp.sum(Ju[:, :, s, :] * pi[:, None, :], axis=0)
+            pi = jnp.sum(Jx[:, :, s, :] * pi[:, None, :], axis=0)
+        g_u_full = jnp.asarray(self._Ju_cost.T, dtype) @ r_u + jnp.concatenate(
+            gu, axis=0
+        )
+        first_order = jnp.max(jnp.abs(g_u_full), axis=0)
+
+        ok = (
+            jnp.all(jnp.isfinite(dZ.xs), axis=(0, 1))
+            & jnp.all(jnp.isfinite(du), axis=0)
+            & (
+                jnp.all(jnp.isfinite(nu), axis=0)
+                if n_t else jnp.ones((B,), bool)
+            )
+            & jnp.all(
+                jnp.isfinite(jnp.diagonal(L, axis1=1, axis2=2)), axis=1
+            )
+        )
+
+        c_full = jnp.concatenate(
+            [defect.transpose(1, 0, 2).reshape(S * sd, B), pin, c_term],
+            axis=0,
+        )
+        return dZ, nu_inf, first_order, jr_dz, ok, r, c_full
+
+
+def _solve_lanes(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
+    """The lanes analog of ``ops.solver.solve_nls`` — identical merit /
+    line-search / damping / termination logic with explicit per-instance
+    ``(B,)`` scalars instead of ``vmap``."""
+    with jax.default_matmul_precision("float32"):
+        return _solve_lanes_impl(problem, Z0, config)
+
+
+def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
+    dtype = Z0.u.dtype
+    B = problem.B
+    alphas = [0.5 ** i for i in range(config.max_line_search_iterations)]
+    alphas_arr = jnp.asarray(alphas, dtype)
+
+    def iteration(carry, _):
+        Z, lam, mu, merit_prev, done, term, fo_carry = carry
+        dZ, nu_inf, first_order, jr_dz, qp_ok, r, c = problem.condensed_step(
+            Z, lam
+        )
+        cost = 0.5 * jnp.sum(r * r, axis=0)
+        viol1 = jnp.sum(jnp.abs(c), axis=0)
+        dZ = _Z(
+            xs=jnp.where(qp_ok, dZ.xs, jnp.zeros_like(dZ.xs)),
+            u=jnp.where(qp_ok, dZ.u, jnp.zeros_like(dZ.u)),
+        )
+
+        mu_new = jnp.maximum(mu, config.penalty_multiplier_margin * nu_inf)
+        phi0 = cost + mu_new * viol1
+        dphi = jr_dz - mu_new * viol1
+
+        phis = []
+        for alpha in alphas:
+            Za = problem.retract(Z, dZ, alpha)
+            ra, ca = problem.evaluate(Za)
+            phis.append(
+                0.5 * jnp.sum(ra * ra, axis=0)
+                + mu_new * jnp.sum(jnp.abs(ca), axis=0)
+            )
+        phi_trials = jnp.stack(phis)  # (A, B)
+        phi_trials = jnp.where(jnp.isfinite(phi_trials), phi_trials, jnp.inf)
+        accepts = phi_trials <= phi0 + config.armijo_c1 * (
+            alphas_arr[:, None] * dphi
+        )
+        any_accept = jnp.any(accepts, axis=0) & qp_ok
+        first_idx = jnp.argmax(accepts, axis=0)  # (B,)
+        alpha_used = jnp.where(any_accept, alphas_arr[first_idx], 0.0)
+        # The accepted iterate: retraction is deterministic, so
+        # re-retracting at the accepted alpha reproduces the trial exactly
+        # (elementwise only — no rollout) without gathering trial trees.
+        Z_acc = problem.retract(Z, dZ, alpha_used)
+        phi_new = jnp.where(
+            any_accept,
+            jnp.take_along_axis(phi_trials, first_idx[None], axis=0)[0],
+            phi0,
+        )
+
+        lam_next = jnp.where(
+            any_accept,
+            lam * config.lambda_decrease,
+            jnp.maximum(
+                lam * config.lambda_increase, config.lambda_failure_floor
+            ),
+        )
+        Z_next = _Z(
+            xs=jnp.where(any_accept, Z_acc.xs, Z.xs),
+            u=jnp.where(any_accept, Z_acc.u, Z.u),
+        )
+
+        rel_change = jnp.abs(merit_prev - phi_new) / jnp.maximum(
+            jnp.abs(merit_prev), jnp.asarray(1.0e-30, dtype)
+        )
+        conv_rel = any_accept & (rel_change < config.relative_exit_tol)
+        conv_first = first_order < config.absolute_first_derivative_tol
+        fail_lambda = lam_next > config.lambda_max
+        fail_qp = ~qp_ok
+
+        new_term = jnp.where(
+            conv_first,
+            NLSTerminationState.SATISFIED_FIRST_ORDER_TOL,
+            jnp.where(
+                conv_rel,
+                NLSTerminationState.SATISFIED_RELATIVE_TOL,
+                jnp.where(
+                    fail_qp,
+                    NLSTerminationState.QP_INDEFINITE,
+                    jnp.where(
+                        fail_lambda,
+                        NLSTerminationState.MAX_LAMBDA,
+                        NLSTerminationState.MAX_ITERATIONS,
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        now_done = conv_rel | conv_first | fail_lambda | fail_qp
+
+        Z_out = _Z(
+            xs=jnp.where(done, Z.xs, Z_next.xs),
+            u=jnp.where(done, Z.u, Z_next.u),
+        )
+        lam_out = jnp.where(done, lam, lam_next)
+        mu_out = jnp.where(done, mu, mu_new)
+        merit_out = jnp.where(done, merit_prev, phi_new)
+        term_out = jnp.where(done, term, new_term)
+        fo_out = jnp.where(done, fo_carry, first_order)
+        done_out = done | now_done
+
+        trace = (
+            jnp.where(done, jnp.nan, cost),
+            jnp.where(done, jnp.nan, jnp.max(jnp.abs(c), axis=0)),
+            jnp.where(done, jnp.nan, lam),
+            jnp.where(done, 0.0, alpha_used),
+            jnp.where(done, jnp.nan, first_order),
+            ~done,
+        )
+        return (
+            (Z_out, lam_out, mu_out, merit_out, done_out, term_out, fo_out),
+            trace,
+        )
+
+    init = (
+        Z0,
+        jnp.full((B,), config.lambda_initial, dtype),
+        jnp.full((B,), config.equality_penalty_initial, dtype),
+        jnp.full((B,), jnp.inf, dtype),
+        jnp.zeros((B,), bool),
+        jnp.full((B,), NLSTerminationState.MAX_ITERATIONS, jnp.int32),
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    (Z, lam, _, _, _, term, first_order), traces = jax.lax.scan(
+        iteration, init, None, length=config.max_iterations
+    )
+    iter_cost, iter_viol, iter_lambda, iter_alpha, iter_first, applied = traces
+
+    r, c = problem.evaluate(Z)
+    cost = 0.5 * jnp.sum(r * r, axis=0)
+    viol = jnp.max(jnp.abs(c), axis=0) if c.shape[0] else jnp.zeros((B,), dtype)
+
+    outputs = NLSOutputs(
+        termination_state=term,
+        n_iterations=jnp.sum(applied.astype(jnp.int32), axis=0),
+        cost=cost,
+        constraint_violation=viol,
+        first_order_norm=first_order,
+        lambda_final=lam,
+        # (iters, B) -> (B, iters): match vmap(solve_nls) output layout.
+        iter_cost=iter_cost.T,
+        iter_violation=iter_viol.T,
+        iter_lambda=iter_lambda.T,
+        iter_step_size=iter_alpha.T,
+        iter_first_order=iter_first.T,
+    )
+    return Z, outputs
+
+
+# ---------------------------------------------------------------------- step
+def step_lanes(mpc: MPC, state: MPCState, x_current, dynamics_params,
+               b_x_set_point=0.0):
+    """Batched MPC step in the lanes layout — drop-in for
+    ``vmap(mpc.step)``: inputs/outputs carry a LEADING batch axis
+    (``state`` leaves ``(B, ...)``, ``x_current`` ``(B, sd)``); internally
+    the batch lives in the trailing lane axis.
+
+    Requires ``kkt_method="condensed"`` and a model with machine-generated
+    analytic Jacobians (both models ship them).
+    """
+    spec = mpc.spec
+    if mpc.params.kkt_method != "condensed":
+        raise ValueError(
+            "step_lanes implements the condensed KKT path only; got "
+            f"kkt_method={mpc.params.kkt_method!r}"
+        )
+    if mpc.model.dynamics_jac is None:
+        raise ValueError(
+            "step_lanes needs model.dynamics_jac (machine-generated "
+            "closed-form Jacobians)"
+        )
+    x_current = jnp.asarray(x_current)
+    B, sd = x_current.shape
+    dtype = x_current.dtype
+    K, sp, N = spec.window_length, spec.spacing, spec.num_states
+    xc = x_current.T  # (sd, B)
+    set_point = jnp.broadcast_to(
+        jnp.asarray(b_x_set_point, dtype), (B,)
+    )
+
+    # Warm/cold start (optimization.cc:50-67), elementwise over instances.
+    u_prev = state.previous_solution[:, spec.u_start:].astype(dtype).T  # (K,B)
+    u_warm = jnp.concatenate([u_prev[1:], u_prev[-1:]])
+    k = jnp.arange(K, dtype=dtype)
+    u_cold = (
+        mpc.params.u_guess_sinusoid_amplitude
+        * jnp.sin(k / K * (2.0 * math.pi))
+    )[:, None]
+    warm = state.warm  # (B,) bool
+    u_guess = jnp.where(warm, u_warm, u_cold)
+    u_prev_cont = jnp.where(warm, u_prev[0], jnp.zeros((B,), dtype))
+
+    fold = _param_folder(dynamics_params, B)
+    dp = fold(1)
+    f = lambda x_, u_: mpc.model.dynamics(dp, x_, u_)
+    _, xs_roll = rollout_lanes(
+        f, xc, u_guess, mpc.params.control_dt, mpc.model.angle_indices,
+        stack_states=True,
+    )  # xs_roll (sd, K, B)
+    shoot = jnp.concatenate(
+        [xc[:, None, :], xs_roll[:, sp - 1::sp, :]], axis=1
+    )  # (sd, N, B)
+    Z0 = _Z(xs=shoot, u=u_guess)
+
+    problem = _LanesProblem(spec, xc, set_point, u_prev_cont, dynamics_params)
+    Z, solver_outputs = _solve_lanes(problem, Z0, mpc.nls_config)
+
+    u_out = Z.u  # (K, B)
+    _, predicted = rollout_lanes(
+        f, xc, u_out, mpc.params.control_dt, mpc.model.angle_indices,
+        stack_states=True,
+    )  # (sd, K, B)
+
+    def pack(zt: _Z):
+        """Lanes iterate -> batch-first packed decision vector (B, dim)."""
+        xs_b = jnp.transpose(zt.xs, (2, 1, 0)).reshape(B, N * sd)
+        return jnp.concatenate([xs_b, zt.u.T], axis=1)
+
+    z_guess = pack(Z0)
+    z_sol = pack(Z)
+    outputs = MPCOutputs(
+        initial_state=x_current,
+        previous_solution=z_guess,
+        solver=solver_outputs,
+        u=u_out.T,  # (B, K)
+        predicted_states=jnp.transpose(predicted, (2, 1, 0)),  # (B, K, sd)
+        solution=z_sol,
+    )
+    new_state = MPCState(
+        previous_solution=z_sol, warm=jnp.ones((B,), bool)
+    )
+    return outputs, new_state
+
+
+# ----------------------------------------------------------------- simulator
+def simulator_step_lanes(
+    dynamics_params,
+    x,
+    dt: float,
+    u,
+    f_base=None,
+    f_mass=None,
+    model=None,
+    internal_dt: float = 1.0e-3,
+):
+    """Plant substep integration, batch-last: ``x`` (sd, B), ``u`` (B,),
+    forces ``(2, B)`` or ``(2,)``. Same 1 kHz fixed-substep arithmetic as
+    ``mpc/simulator.py`` (``simulator.cc:17-23``)."""
+    n_full = int(dt / internal_dt)
+    remainder = dt - n_full * internal_dt
+    hs = [internal_dt] * n_full
+    if remainder > 1e-12:
+        hs.append(remainder)
+
+    def f(x_, u_):
+        return model.dynamics(dynamics_params, x_, u_, f_base, f_mass)
+
+    from ..ops.lanes import rk4_step_lanes, wrap_angles_lanes
+
+    for h in hs:
+        x = rk4_step_lanes(f, x, u, h)
+        x = wrap_angles_lanes(x, model.angle_indices)
+    return x
+
+
+# ---------------------------------------------------------------- closed loop
+def run_closed_loop_lanes(
+    mpc: MPC,
+    x0,
+    dynamics_params,
+    num_steps: int,
+    set_point=0.0,
+    mpc_state: MPCState | None = None,
+    auto_reset: bool = True,
+    disturbances=None,
+) -> ClosedLoopResult:
+    """Lanes-layout drop-in for ``vmap(run_closed_loop)``: ``x0`` is
+    ``(B, sd)``, results carry a leading batch axis. One ``lax.scan`` over
+    control ticks; each tick is a lanes MPC solve + lanes plant substeps
+    (the reference's browser-loop regime, ``application.ts:424-458``).
+
+    ``disturbances``: optional ``(B, num_steps, 2, 2)`` external plant
+    forces (``[:, :, 0]`` base, ``[:, :, 1]`` pole mass), invisible to the
+    planner.
+    """
+    x0 = jnp.asarray(x0)
+    B, sd = x0.shape
+    dtype = x0.dtype
+    if mpc_state is None:
+        mpc_state = MPCState(
+            previous_solution=jnp.zeros((B, mpc.spec.dim), dtype),
+            warm=jnp.zeros((B,), bool),
+        )
+    set_point = jnp.broadcast_to(jnp.asarray(set_point, dtype), (B,))
+    if disturbances is not None:
+        # (B, T, 2, 2) -> (T, 2, 2, B) for the scan.
+        disturbances = jnp.transpose(
+            jnp.asarray(disturbances, dtype), (1, 2, 3, 0)
+        )
+
+    def body(carry, dist):
+        x, st = carry  # x (sd, B), st batch-first MPCState
+        outputs, st2 = step_lanes(mpc, st, x.T, dynamics_params, set_point)
+        u0 = outputs.u[:, 0]  # (B,)
+        if auto_reset:
+            failed = mpc.failure_mask(outputs)
+            st2 = mpc.reset_where(st2, failed)
+            u0 = jnp.where(failed, jnp.zeros_like(u0), u0)
+        f_base = dist[0] if dist is not None else None
+        f_mass = dist[1] if dist is not None else None
+        x_next = simulator_step_lanes(
+            dynamics_params, x, mpc.params.control_dt, u0,
+            f_base, f_mass, model=mpc.model,
+        )
+        tick = (
+            x.T,
+            u0,
+            outputs.predicted_states[:, -1, :],
+            outputs.solver.termination_state,
+            outputs.solver.constraint_violation,
+            outputs.solver.n_iterations,
+        )
+        return (x_next, st2), tick
+
+    (x_final, st_final), ticks = jax.lax.scan(
+        body, (x0.T, mpc_state), disturbances, length=num_steps
+    )
+    states, controls, term_pred, term_codes, violations, iters = ticks
+    # (T, B, ...) -> (B, T, ...) to match vmap(run_closed_loop).
+    swap = lambda a: jnp.swapaxes(a, 0, 1)
+    return ClosedLoopResult(
+        final_state=x_final.T,
+        final_mpc_state=st_final,
+        states=swap(states),
+        controls=swap(controls),
+        terminal_predictions=swap(term_pred),
+        termination_states=swap(term_codes),
+        constraint_violations=swap(violations),
+        solver_iterations=swap(iters),
+    )

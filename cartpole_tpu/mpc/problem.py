@@ -43,8 +43,10 @@ __all__ = ["TerminalSpec", "MPCProblemSpec"]
 def _tiny_spd_solve(S, b):
     """Solve a tiny (static n <= ~6) SPD system by fully unrolled scalar
     Cholesky — avoids XLA's batched-LAPACK custom calls for matrices far
-    below their efficient size range."""
-    n = S.shape[-1]
+    below their efficient size range. ``S`` is ``(n, n)`` or ``(n, n, B)``
+    (lanes layout), ``b`` ``(n,)`` / ``(n, B)``: every scalar op broadcasts
+    over the trailing batch axis."""
+    n = S.shape[0]
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -537,9 +539,31 @@ class MPCProblemSpec:
                 jnp.maximum(jnp.max(pi_norms), sigma_inf),
             )
 
-            first_order = jnp.max(
-                jnp.abs(g_bar + (A_bar.T @ nu_bar if n_t else 0.0))
+            # Unified first-order diagnostic: the inf-norm of the FULL-z
+            # Lagrangian gradient ``J^T r + A^T nu`` at the current iterate
+            # — the same quantity the lu/schur paths report
+            # (ops/solver.py). The eliminated defect/pin multipliers are
+            # chosen by the adjoint recursion seeded from the *pre-step*
+            # residuals, which zeroes every state row exactly (that is what
+            # exact elimination means), so the norm reduces to the control
+            # rows: static u-cost gradient plus the per-segment ju^T pi
+            # adjoint contributions.
+            gN_pre = jnp.zeros((sd,), dtype)
+            for i, spec in enumerate(term_costs):
+                gN_pre = gN_pre.at[spec.coord].add(spec.weight * r[i])
+            for j, spec in enumerate(term_eqs):
+                gN_pre = gN_pre.at[spec.coord].add(nu_bar[j])
+
+            def bwd_pre(pi, inp):
+                jx_s, ju_s = inp
+                return jx_s.T @ pi, ju_s.T @ pi
+            _, gu_segs = jax.lax.scan(bwd_pre, gN_pre, (jx, ju), reverse=True)
+            n_tc = len(term_costs)
+            g_u_full = (
+                jnp.asarray(self._J_cost_u, dtype).T @ r[n_tc:]
+                + gu_segs.reshape(-1)
             )
+            first_order = jnp.max(jnp.abs(g_u_full))
             ok = (
                 jnp.all(jnp.isfinite(dz))
                 & jnp.all(jnp.isfinite(nu_bar))

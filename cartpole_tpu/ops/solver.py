@@ -132,7 +132,10 @@ class NLSProblem:
     jr_dz, ok, r, c)`` where ``dz`` is the damped Gauss-Newton step
     (satisfying the linearized constraints), ``nu_inf`` the inf-norm of ALL
     equality multipliers (for the merit penalty ramp), ``first_order`` the
-    reduced Lagrangian-gradient inf-norm, ``jr_dz`` the exact directional
+    full-z Lagrangian-gradient inf-norm ``||J^T r + A^T nu||_inf`` (same
+    semantics as the dense paths below — the condensed implementation
+    recovers the eliminated multipliers by an adjoint pass so the state
+    rows vanish exactly), ``jr_dz`` the exact directional
     derivative ``(J^T r) . dz``, ``ok`` a finite/solvable flag, and
     ``(r, c)`` the residual/constraint values at ``z`` (the condensing
     rollout already computes them — returning them avoids a second segment

@@ -128,7 +128,16 @@ class TestNativeClosedLoopParity:
         """Closed-loop control parity (BASELINE.json: max-abs u error
         <= 1e-4 at the same horizon) over 100 receding-horizon ticks."""
         p = SingleCartPoleParams()
-        op = OptimizationParams(max_iterations=10, state_spacing=5)
+        # Pinned to the reference-parity KKT path: the oracle factors the
+        # full KKT system the same way (incl. the -1e-10 constraint-block
+        # regularization), so 1e-4 closed-loop agreement is a property of
+        # that path; the condensed path solves the same linear systems but
+        # its different rounding drifts ~0.1-0.5 over 100 chaotic swing-up
+        # ticks (bounded drift, same trajectory — see
+        # tests/test_schur.py::test_u_sequence_close_to_lu_path).
+        op = OptimizationParams(
+            max_iterations=10, state_spacing=5, kkt_method="lu"
+        )
         u_nat, states_nat = native.oracle_closed_loop(p, op, DOWN, 100)
 
         mpc = make_mpc(op)

@@ -87,6 +87,34 @@ class TestAltKKTParity:
         # bounded drift, same trajectory.
         assert np.abs(u_lu - u_m).max() < 0.5
 
+    def test_first_order_semantics_unified(self):
+        """``first_order_norm`` reports the same quantity in every KKT path
+        — the full-z Lagrangian-gradient inf-norm ``||J^T r + A^T nu||_inf``
+        with the path's multiplier estimates (the condensed path recovers
+        the eliminated defect/pin multipliers by an adjoint pass, so its
+        state rows vanish exactly and the norm reduces to the control
+        rows). On an interior (no binding retraction clamp) stabilization
+        problem every path must drive it below the first-order tolerance
+        and terminate SATISFIED_FIRST_ORDER_TOL. (Swing-up is excluded:
+        there the u clamp binds and the unconstrained gradient legitimately
+        stays nonzero.)"""
+        dp = default_single_params(jnp.float64)
+        x0 = jnp.asarray([0.0, np.pi / 2 - 0.05, 0.0, 0.0])
+        for method in ("lu", "schur", "condensed"):
+            p_conv = OptimizationParams(
+                max_iterations=40, state_spacing=5, kkt_method=method,
+                relative_exit_tol=0.0,
+            )
+            mpc = make_mpc(p_conv)
+            out, _ = jax.jit(
+                lambda s, x, m=mpc: m.step(s, x, dp)
+            )(mpc.init_state(jnp.float64), x0)
+            assert (
+                int(out.solver.termination_state)
+                == NLSTerminationState.SATISFIED_FIRST_ORDER_TOL
+            ), method
+            assert float(out.solver.first_order_norm) < 1.0e-6, method
+
     def test_condensed_step_satisfies_linearized_constraints(self):
         """The condensed step eliminates defects+pins EXACTLY: its dz
         satisfies the dense path's linearized constraints to roundoff."""
