@@ -54,8 +54,13 @@ def main(argv=None):
                     choices=("condensed", "schur", "lu"),
                     help="KKT solver (condensed = TPU fast path: defect "
                     "elimination down to a K-var SPD system)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (CI smoke; this "
+                    "environment ignores JAX_PLATFORMS, CLAUDE.md)")
     args = ap.parse_args(argv)
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.f64:
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32

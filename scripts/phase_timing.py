@@ -1,0 +1,195 @@
+"""Device-phase timing harness: where a lanes MPC tick spends its time.
+
+`jax.profiler` produces no trace over the tunneled-TPU runtime (CLAUDE.md),
+so solver phases are timed as standalone jitted programs over the same
+shapes the real tick uses, serialized by a `lax.scan` data dependency and
+synced by a small host transfer. This is the per-phase timing the
+reference exposes through mini_opt's trace_collector
+(`/root/reference/optimization/wasm.cc:122-138`), reconstructed for the
+actual TPU solve.
+
+Usage: python scripts/phase_timing.py [--batch 4096] [--reps 20]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+)
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def _timed(fn, args, inner: int, label: str):
+    """Compile fn (scanned `inner` times, serialized), return best-of-3 s."""
+    f = jax.jit(fn)
+    out = f(*args)
+    np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]  # sync
+    best = math.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = f(*args)
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]
+        best = min(best, time.perf_counter() - t0)
+    per = best / inner
+    print(f"{label:28s} {per*1e3:9.3f} ms/call  ({inner} serialized calls)",
+          flush=True)
+    return per
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--reps", type=int, default=20)
+    args = ap.parse_args()
+
+    from cartpole_tpu import (
+        OptimizationParams, default_single_params, make_mpc,
+    )
+    from cartpole_tpu.mpc.controller import MPCState
+    from cartpole_tpu.mpc.lanes import _LanesProblem, _Z, step_lanes
+    from cartpole_tpu.ops.lanes import rollout_lanes
+
+    dtype = jnp.float32
+    B = args.batch
+    reps = args.reps
+    mpc = make_mpc(
+        OptimizationParams(
+            max_iterations=8, state_spacing=5, kkt_method="condensed"
+        )
+    )
+    spec = mpc.spec
+    dp = default_single_params(dtype)
+    rng = np.random.RandomState(0)
+    x0 = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (B, 1))
+    x0[:, 0] += rng.uniform(-0.5, 0.5, B)
+    x0[:, 1] += rng.uniform(-0.5, 0.5, B)
+    xc = jnp.asarray(x0, dtype).T  # (sd, B)
+    sp_ = jnp.zeros((B,), dtype)
+    u_prev = jnp.zeros((B,), dtype)
+    problem = _LanesProblem(spec, xc, sp_, u_prev, dp)
+
+    K, sd, N = spec.window_length, spec.state_dim, spec.num_states
+    k = jnp.arange(K, dtype=dtype)
+    u0 = 10.0 * jnp.sin(k / K * (2.0 * math.pi))[:, None] * jnp.ones((1, B), dtype)
+    f = lambda x_, u_: mpc.model.dynamics(dp, x_, u_)
+    _, xs_roll = rollout_lanes(f, xc, u0, 0.01, mpc.model.angle_indices,
+                               stack_states=True)
+    shoot = jnp.concatenate(
+        [xc[:, None, :], xs_roll[:, spec.spacing - 1::spec.spacing, :]], axis=1
+    )
+    Z0 = _Z(xs=shoot, u=u0)
+    lam0 = jnp.zeros((B,), dtype)
+
+    with jax.default_matmul_precision("float32"):
+        # Full condensed step (linearize + condense + KKT + expand).
+        def full_step(Z, lam):
+            def body(carry, _):
+                Z_, lam_ = carry
+                dZ, nu_inf, fo, jr, ok, r, c = problem.condensed_step(Z_, lam_)
+                # feed outputs back so iterations serialize
+                Z2 = _Z(xs=Z_.xs + 0.0 * dZ.xs, u=Z_.u + 0.0 * dZ.u)
+                return (Z2, lam_ + 0.0 * nu_inf), None
+            (Zf, _), _ = jax.lax.scan(body, (Z, lam), None, length=reps)
+            return Zf
+
+        t_cstep = _timed(full_step, (Z0, lam0), reps, "condensed_step")
+
+        # Line-search evaluate (one alpha): retract + cost/constraints.
+        def ls_one(Z):
+            def body(carry, _):
+                Z_ = carry
+                Za = problem.retract(Z_, _Z(xs=Z_.xs, u=Z_.u), 1e-6)
+                r, c = problem.evaluate(Za)
+                Z2 = _Z(xs=Z_.xs + 0.0 * jnp.sum(c) , u=Z_.u)
+                return Z2, None
+            Zf, _ = jax.lax.scan(body, Z, None, length=reps)
+            return Zf
+
+        t_ls1 = _timed(ls_one, (Z0,), reps, "evaluate (1 alpha)")
+
+        # Guess-fill / predicted rollout (K steps, batch-lanes).
+        def roll(x, u):
+            def body(carry, _):
+                x_ = carry
+                xe, xs = rollout_lanes(f, x_, u, 0.01,
+                                       mpc.model.angle_indices,
+                                       stack_states=True)
+                return xe, None
+            xf, _ = jax.lax.scan(body, x, None, length=reps)
+            return xf
+
+        t_roll = _timed(roll, (xc, u0), reps, "window rollout (K steps)")
+
+        # KKT block alone: build H from fixed term_J and solve.
+        term_J = jnp.ones((problem.n_tc, K, B), dtype) * 0.01
+        g = jnp.ones((K, B), dtype)
+        A_bar = jnp.ones((problem.n_t, K, B), dtype) * 0.02
+        c_bar = jnp.ones((problem.n_t, B), dtype) * 0.1
+
+        def kkt(term_J, g, A_bar, c_bar):
+            from cartpole_tpu.mpc.problem import _tiny_spd_solve
+            Hu = jnp.asarray(problem._Hu, dtype)
+
+            def body(carry, _):
+                tJ, g_, A_, c_ = carry
+                H = jnp.sum(tJ[:, :, None, :] * tJ[:, None, :, :], axis=0) \
+                    + Hu[:, :, None]
+                Hb = jnp.transpose(H, (2, 0, 1))
+                L = jnp.linalg.cholesky(Hb)
+                rb = jnp.transpose(
+                    jnp.concatenate([A_, g_[None]], axis=0), (2, 1, 0))
+                sol = jnp.transpose(
+                    jax.scipy.linalg.cho_solve((L, True), rb), (2, 1, 0))
+                HiAt, Hig = sol[:problem.n_t], sol[problem.n_t]
+                S_bar = jnp.sum(
+                    A_[:, None, :, :] * HiAt[None, :, :, :], axis=2
+                ) + 1e-12 * jnp.eye(problem.n_t, dtype=dtype)[:, :, None]
+                nu = _tiny_spd_solve(
+                    S_bar, c_ - jnp.sum(A_ * Hig[None], axis=1))
+                du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
+                return (tJ + 0.0 * du[None], g_, A_, c_), None
+            (tJf, _, _, _), _ = jax.lax.scan(
+                body, (term_J, g, A_bar, c_bar), None, length=reps)
+            return tJf
+
+        t_kkt = _timed(kkt, (term_J, g, A_bar, c_bar), reps, "KKT (chol+solve)")
+
+        # One full MPC tick for reference.
+        st = MPCState(
+            previous_solution=jnp.zeros((B, spec.dim), dtype),
+            warm=jnp.zeros((B,), bool),
+        )
+
+        def tick(st_, x_):
+            out, st2 = step_lanes(mpc, st_, x_, dp, sp_)
+            return out.u, st2
+
+        t_tick = _timed(tick, (st, jnp.asarray(x0, dtype)), 1, "full MPC tick")
+
+    it = mpc.params.max_iterations
+    ls = mpc.params.max_line_search_iterations
+    print()
+    print(f"tick model: {it} x condensed_step  = {it*t_cstep*1e3:8.2f} ms")
+    print(f"            {it} x {ls} x evaluate   = {it*ls*t_ls1*1e3:8.2f} ms")
+    print(f"            2 x window rollout       = {2*t_roll*1e3:8.2f} ms")
+    print(f"            (KKT inside step:        {it*t_kkt*1e3:8.2f} ms)")
+    model = it * t_cstep + it * ls * t_ls1 + 2 * t_roll
+    print(f"            model total {model*1e3:8.2f} ms vs measured tick "
+          f"{t_tick*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

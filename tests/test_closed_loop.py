@@ -12,7 +12,6 @@ import numpy as np
 import pytest
 
 from cartpole_tpu import (
-    MPCState,
     OptimizationParams,
     default_single_params,
     make_mpc,

@@ -8,7 +8,6 @@ is exercised in interpreter mode here and kept off the default hot path;
 see ops/pallas_kernels.py for the runtime notes.
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
