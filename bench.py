@@ -7,14 +7,21 @@ and prints ONE JSON line. This is the honest regime: each solve sees a new
 plant state, exactly like the reference's browser loop
 (``viz/src/application.ts:424-458``).
 
+The timed program uses the batch-in-lanes condensed path (``mpc/lanes.py``,
+``--layout lanes``); ``--layout vmap`` times the generic vmapped path.
+After the timing runs, the SAME compiled program is re-invoked in chunks
+carrying ``(plant state, MPCState)`` across calls to demonstrate full
+swing-up at the bench operating point (250 ticks; long single programs
+crash the tunneled runtime, CLAUDE.md) — reported as ``fraction_upright``.
+
 Baseline anchor: the reference publishes no numbers (BASELINE.md); its
 implied budget is one MPC solve per 10 ms control tick on a single
 browser/WASM thread (``optimization.hpp:14``, ``application.ts:393-399``),
 i.e. 100 solves/s. ``vs_baseline`` is solves/s relative to that. (Our own
-native C++ oracle measures ~3.9 ms/solve single-threaded on this host —
-the same order.)
+native C++ oracle measures ~3.9 ms/solve single-threaded on this host.)
 
-Usage: python bench.py [--batch 4096] [--ticks 100] [--reps 3] [--f64]
+Usage: python bench.py [--batch 4096] [--ticks 20] [--reps 3] [--f64]
+       python bench.py --sweep   # latency/throughput matrix -> bench_sweep.json
 """
 
 import argparse
@@ -31,19 +38,91 @@ import numpy as np
 BASELINE_SOLVES_PER_S = 100.0  # 1 solve / 10 ms real-time budget, 1 thread.
 
 # Persistent compilation cache: the tunneled-TPU AOT compile of the
-# closed-loop program costs ~5 min; cached runs skip it entirely.
+# closed-loop program costs minutes; cached runs skip it entirely.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
+def _make_x0s(n, dtype, seed=0):
+    rng = np.random.RandomState(seed)
+    x0s = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (n, 1))
+    x0s[:, 0] += rng.uniform(-0.5, 0.5, n)
+    x0s[:, 1] += rng.uniform(-0.5, 0.5, n)
+    return jnp.asarray(x0s, dtype)
+
+
+def _build_runner(args, n, ticks, kkt, dtype):
+    from cartpole_tpu import OptimizationParams, make_mpc
+    from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
+    from cartpole_tpu.mpc.closed_loop import run_closed_loop
+
+    mpc = make_mpc(
+        OptimizationParams(
+            max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
+        )
+    )
+    if args.layout == "lanes" and kkt == "condensed":
+        def run(x0s, dp, sps, st=None):
+            return run_closed_loop_lanes(
+                mpc, x0s, dp, ticks, sps, mpc_state=st
+            )
+    else:
+        import jax as _jax
+
+        def run(x0s, dp, sps, st=None):
+            return _jax.vmap(
+                lambda x, s, st_: run_closed_loop(
+                    mpc, x, dp, ticks, s, mpc_state=st_
+                ),
+                in_axes=(0, 0, 0 if st is not None else None),
+            )(x0s, sps, st)
+    return mpc, jax.jit(run)
+
+
+def _time_run(run, x0s, dp, sps, reps):
+    def once():
+        t0 = time.perf_counter()
+        res = run(x0s, dp, sps)
+        # Sync via host transfer of a small array: block_until_ready can
+        # return early on tunneled-TPU platforms (CLAUDE.md).
+        np.asarray(res.final_state[:4])
+        return time.perf_counter() - t0, res
+
+    try:
+        _, res = once()  # compile / warm-up
+    except Exception as e:  # noqa: BLE001 - transient tunnel faults
+        print(f"warm-up failed ({type(e).__name__}); retrying once",
+              file=sys.stderr)
+        time.sleep(20)
+        _, res = once()
+    best = math.inf
+    for _ in range(reps):
+        dt, res = once()
+        best = min(best, dt)
+    return best, res
+
+
+def _health(res):
+    term = np.asarray(res.termination_states)
+    return int(np.sum((term == 3) | (term == 4)))
+
+
+def _upright_fraction(xf):
+    th = np.asarray(xf)[:, 1]
+    return float(np.mean(
+        np.abs(np.mod(th - math.pi / 2 + math.pi, 2 * math.pi) - math.pi)
+        < 0.1
+    ))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--ticks", type=int, default=20,
-                    help="receding-horizon steps per run (one compiled scan; "
-                    "kept short — very long scans compile slowly on some "
+                    help="receding-horizon steps per compiled program "
+                    "(kept short — very long scans crash some tunneled "
                     "TPU runtimes)")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--f64", action="store_true",
@@ -51,12 +130,19 @@ def main(argv=None):
     ap.add_argument("--spacing", type=int, default=5,
                     help="state_spacing (reference test uses 5)")
     ap.add_argument("--kkt", default="condensed",
-                    choices=("condensed", "schur", "lu"),
-                    help="KKT solver (condensed = TPU fast path: defect "
-                    "elimination down to a K-var SPD system)")
+                    choices=("condensed", "schur", "lu"))
+    ap.add_argument("--layout", default="lanes", choices=("lanes", "vmap"),
+                    help="batching layout (lanes = batch-in-lanes fast "
+                    "path; requires condensed)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (CI smoke; this "
                     "environment ignores JAX_PLATFORMS, CLAUDE.md)")
+    ap.add_argument("--no-upright", action="store_true",
+                    help="skip the chunked 250-tick swing-up demonstration")
+    ap.add_argument("--upright-ticks", type=int, default=250)
+    ap.add_argument("--sweep", action="store_true",
+                    help="latency/throughput matrix over batch sizes -> "
+                    "bench_sweep.json (single JSON line still printed)")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -65,66 +151,43 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    from cartpole_tpu import OptimizationParams, default_single_params, make_mpc
-    from cartpole_tpu.parallel import (
-        make_scenario_mesh,
-        make_sharded_closed_loop,
-        shard_scenarios,
-    )
+    from cartpole_tpu import default_single_params
 
     dev = jax.devices()[0]
-    mpc = make_mpc(
-        OptimizationParams(
-            max_iterations=8, state_spacing=args.spacing, kkt_method=args.kkt
-        )
-    )
-    dynamics_params = default_single_params(dtype)
+    dp = default_single_params(dtype)
 
-    n = args.batch
-    mesh = make_scenario_mesh(jax.devices()[:1])  # single-chip headline number
-    rng = np.random.RandomState(0)
-    x0s_np = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (n, 1))
-    x0s_np[:, 0] += rng.uniform(-0.5, 0.5, n)
-    x0s_np[:, 1] += rng.uniform(-0.5, 0.5, n)
-    x0s = shard_scenarios(jnp.asarray(x0s_np, dtype), mesh)
-    set_points = shard_scenarios(jnp.zeros((n,), dtype), mesh)
+    if args.sweep:
+        return _sweep(args, dp, dtype, dev)
 
-    run = make_sharded_closed_loop(mpc, mesh, num_steps=args.ticks)
+    n, ticks = args.batch, args.ticks
+    mpc, run = _build_runner(args, n, ticks, args.kkt, dtype)
+    x0s = _make_x0s(n, dtype)
+    sps = jnp.zeros((n,), dtype)
 
-    def timed_run():
-        t0 = time.perf_counter()
-        result, diag = run(x0s, dynamics_params, set_points)
-        # Sync via host transfer of a small array: block_until_ready can
-        # return early on tunneled-TPU platforms.
-        np.asarray(result.final_state)
-        return time.perf_counter() - t0, result, diag
+    best, res = _time_run(run, x0s, dp, sps, args.reps)
+    n_failed = _health(res)
 
-    # Warm-up: compile. Retry once — the tunneled TPU runtime occasionally
-    # faults transiently on the first big program.
-    try:
-        _, result, diag = timed_run()
-    except Exception as e:  # noqa: BLE001
-        print(f"warm-up failed ({type(e).__name__}); retrying once",
-              file=sys.stderr)
-        time.sleep(20)
-        _, result, diag = timed_run()
-
-    best = math.inf
-    for _ in range(args.reps):
-        dt, result, diag = timed_run()
-        best = min(best, dt)
-
-    solves = n * args.ticks
+    solves = n * ticks
     solves_per_s = solves / best
-    tick_latency_ms = best / args.ticks * 1e3  # full-batch closed-loop tick
+    tick_latency_ms = best / ticks * 1e3  # full-batch closed-loop tick
 
-    # Health: solver failure count; upright fraction only once the sim has
-    # had the ~1.5 s a swing-up takes (ticks * 10 ms).
-    xf = np.asarray(result.final_state)
-    upright = float(
-        np.mean(np.abs(np.mod(xf[:, 1] - math.pi / 2 + math.pi, 2 * math.pi)
-                       - math.pi) < 0.1)
-    ) if args.ticks >= 150 else None
+    # Outcome proof at the perf operating point: chunk the SAME compiled
+    # program to 250 ticks carrying (x, MPCState) across calls.
+    upright = None
+    upright_failed = None
+    if not args.no_upright and not args.f64:
+        x, st = x0s, None
+        res_c = None
+        total_failed = 0
+        n_chunks = max(1, args.upright_ticks // ticks)
+        for _ in range(n_chunks):
+            res_c = run(x, dp, sps) if st is None else run(x, dp, sps, st)
+            x = res_c.final_state
+            st = res_c.final_mpc_state
+            total_failed += _health(res_c)
+        np.asarray(x[:4])
+        upright = _upright_fraction(x)
+        upright_failed = total_failed
 
     print(json.dumps({
         "metric": "batched_mpc_solves_per_s_per_chip",
@@ -132,16 +195,62 @@ def main(argv=None):
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 2),
         "batch": n,
-        "ticks": args.ticks,
+        "ticks": ticks,
         # All solves in the batch complete together, so the full-batch tick
         # latency IS the (p50 = p99) per-solve latency.
         "p99_solve_latency_ms": round(tick_latency_ms, 3),
         "kkt_method": args.kkt,
+        "layout": args.layout,
         "dtype": dtype.__name__ if hasattr(dtype, "__name__") else str(dtype),
         "device": str(dev.platform),
-        "n_failed": int(diag.n_failed),
-        **({"fraction_upright": round(upright, 4)}
+        "n_failed": n_failed,
+        **({"fraction_upright": round(upright, 4),
+            "upright_ticks": args.upright_ticks,
+            "upright_n_failed": upright_failed}
            if upright is not None else {}),
+    }))
+    return 0
+
+
+def _sweep(args, dp, dtype, dev):
+    """Latency/throughput matrix (VERDICT r1 item 4): batch sweep at the
+    default path + small cross-path comparison, written machine-readable."""
+    rows = []
+    batches = (64, 256, 1024, 4096, 16384)
+    for n in batches:
+        mpc, run = _build_runner(args, n, args.ticks, args.kkt, dtype)
+        x0s = _make_x0s(n, dtype)
+        sps = jnp.zeros((n,), dtype)
+        best, res = _time_run(run, x0s, dp, sps, args.reps)
+        rows.append({
+            "batch": n,
+            "ticks": args.ticks,
+            "kkt_method": args.kkt,
+            "layout": args.layout,
+            "solves_per_s": round(n * args.ticks / best, 1),
+            "tick_latency_ms": round(best / args.ticks * 1e3, 3),
+            "meets_10ms_budget": bool(best / args.ticks < 0.010),
+            "n_failed": _health(res),
+            "device": str(dev.platform),
+            "dtype": str(np.dtype(dtype).name),
+        })
+        print(json.dumps(rows[-1]), file=sys.stderr)
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "bench_sweep.json")
+    with open(out, "w") as f:
+        json.dump(rows, f, indent=1)
+    best_row = max(rows, key=lambda r: r["solves_per_s"])
+    rt = [r for r in rows if r["meets_10ms_budget"]]
+    print(json.dumps({
+        "metric": "batched_mpc_solves_per_s_per_chip",
+        "value": best_row["solves_per_s"],
+        "unit": "solves/s",
+        "vs_baseline": round(best_row["solves_per_s"] / BASELINE_SOLVES_PER_S,
+                             2),
+        "sweep": out,
+        "largest_batch_meeting_10ms": (max(r["batch"] for r in rt)
+                                       if rt else 0),
+        "device": str(dev.platform),
     }))
     return 0
 

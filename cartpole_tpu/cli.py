@@ -144,6 +144,33 @@ def _cmd_closed_loop(args) -> int:
     return 0
 
 
+def _cmd_interactive(args) -> int:
+    import jax.numpy as jnp
+
+    mpc, dynamics_params, x0, dtype = _setup(args)
+    from .interactive import InteractiveLoop
+
+    loop = InteractiveLoop(
+        params=mpc.params, dynamics_params=dynamics_params, dtype=dtype
+    )
+    loop.x = jnp.asarray(x0, dtype)
+    import sys as _sys
+
+    if not _sys.stdin.isatty():
+        print(
+            "no tty: running 200 scripted ticks with a pole poke at t=1s",
+            file=_sys.stderr,
+        )
+        loop.render = False
+        cmds = [None] * 100 + ["p"] + [None] * 99
+        loop.run(max_ticks=200, realtime=False, commands=cmds)
+        xf = loop.x
+        print(f"final state: {[round(float(v), 4) for v in xf]}")
+        return 0
+    loop.run()
+    return 0
+
+
 def _cmd_sweep(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -215,6 +242,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap_sw.add_argument("--steps", type=int, default=100)
     ap_sw.add_argument("--seed", type=int, default=0)
     ap_sw.set_defaults(fn=_cmd_sweep)
+
+    ap_int = sub.add_parser(
+        "interactive",
+        help="live terminal closed loop: poke the plant, tweak params "
+        "(the web-demo capability; keys: b/B/p/P poke, c toggle "
+        "controller, 1-4 mass/length, t cost<->equality, r reset, q quit)",
+    )
+    _add_common(ap_int)
+    ap_int.set_defaults(fn=_cmd_interactive)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -92,6 +92,7 @@ class _LanesProblem:
         self.set_point = set_point
         self.u_prev = u_prev
         self.B = x_current.shape[1]
+        self.dynamics_params = dynamics_params
         self.fold = _param_folder(dynamics_params, self.B)
         self.dtype = x_current.dtype
         p = spec.params
@@ -105,6 +106,42 @@ class _LanesProblem:
         self._Hu = self._Ju_cost.T @ self._Ju_cost  # (K, K)
         self.n_tc = len(spec.terminal_costs)
         self.n_t = len(spec.terminal_eqs)
+        # Spectral KKT precomputation: the reduced GN Hessian is
+        #   H = Hu + lam*I + sum_i t_i t_i^T,   t_i = w_i * M_N[coord_i],
+        # i.e. a rank-n_tc update of the STATIC u-cost Gram matrix. With
+        # Hu = Q diag(e) Q^T computed once in f64 at trace time,
+        # (Hu + lam I)^{-1} is a per-instance diagonal rescale between two
+        # static (K, K) matmuls (pure MXU work), and the terminal-cost
+        # rank update folds in by Woodbury with an n_tc x n_tc tiny solve.
+        # This removes the batched Cholesky — measured at ~90% of the
+        # condensed step on v5e — from the hot path entirely.
+        # (If every u-cost weight is zero Hu is singular: at lam = 0 the
+        # rescale produces infs, the step is rejected as not-ok, and LM
+        # raises lam — the same recovery the factorization paths have.)
+        e, Q = np.linalg.eigh(self._Hu.astype(np.float64))
+        self._Hu_eigs = np.maximum(e, 0.0)
+        self._Hu_Q = Q
+
+    def tiled(self, A: int) -> "_LanesProblem":
+        """A copy whose instance axis is ``A`` stacked copies of this
+        problem's (fold order ``a * B + b``) — used to evaluate all ``A``
+        line-search trials in ONE folded rollout instead of ``A``
+        sequential ones."""
+
+        def rep(arr):
+            arr = jnp.asarray(arr)
+            return jnp.broadcast_to(
+                arr[..., None, :], arr.shape[:-1] + (A, self.B)
+            ).reshape(arr.shape[:-1] + (A * self.B,))
+
+        dp_tiled = jax.tree.map(
+            lambda v: rep(v) if jnp.asarray(v).ndim else v,
+            self.dynamics_params,
+        )
+        return _LanesProblem(
+            self.spec, rep(self.x_current), rep(self.set_point),
+            rep(self.u_prev), dp_tiled,
+        )
 
     # ------------------------------------------------------------ residuals
     def cost_residuals(self, Z: _Z):
@@ -244,23 +281,13 @@ class _LanesProblem:
                 [ts.weight * m[ts.coord] for ts in term_costs]
             )  # (n_tc, B)
             r_bar_term = r_term + term_aff
-            H_t = jnp.sum(
-                term_J[:, :, None, :] * term_J[:, None, :, :], axis=0
-            )  # (K, K, B)
             g_t = jnp.sum(term_J * r_bar_term[:, None, :], axis=0)  # (K, B)
         else:
             term_J = jnp.zeros((0, K, B), dtype)
             term_aff = jnp.zeros((0, B), dtype)
             r_bar_term = r_term
-            H_t = jnp.zeros((K, K, B), dtype)
             g_t = jnp.zeros((K, B), dtype)
 
-        eye_K = jnp.asarray(np.eye(K), dtype)
-        H = (
-            H_t
-            + jnp.asarray(self._Hu, dtype)[:, :, None]
-            + lam[None, None, :] * eye_K[:, :, None]
-        )
         g = g_t + jnp.asarray(self._Ju_cost.T, dtype) @ r_u
 
         c_term = self._terminal_eq_residuals(Z)
@@ -271,17 +298,55 @@ class _LanesProblem:
             A_bar = jnp.zeros((0, K, B), dtype)
             c_bar = jnp.zeros((0, B), dtype)
 
-        # KKT solve: the only stage in matrix-page layout — XLA's batched
-        # Cholesky wants (B, K, K); transposes here are two orders of
-        # magnitude cheaper than the rollout traffic they replace.
-        Hb = jnp.transpose(H, (2, 0, 1))
-        L = jnp.linalg.cholesky(Hb)
+        # Spectral KKT solve (see __init__): H = Hu + lam I + term_J^T
+        # term_J is inverted as a Woodbury rank-n_tc update of the
+        # statically eigendecomposed Hu — no factorization on the device,
+        # only static (K, K) matmuls and lane-wise elementwise work.
+        Q = jnp.asarray(self._Hu_Q, dtype)
+        eigs = jnp.asarray(self._Hu_eigs, dtype)
+        d_inv = 1.0 / (eigs[:, None] + lam[None, :])  # (K, B)
 
-        def h_solve(rhs_rows):
-            """Solve H x = rhs for stacked rows (n, K, B) -> (n, K, B)."""
-            rb = jnp.transpose(rhs_rows, (2, 1, 0))  # (B, K, n)
-            sol = jax.scipy.linalg.cho_solve((L, True), rb)
-            return jnp.transpose(sol, (2, 1, 0))
+        def c_solve(X):
+            """(Hu + lam I)^{-1} X for stacked rows X (R, K, B)."""
+            R = X.shape[0]
+            X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
+            Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
+            Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
+            return jnp.transpose(Zr, (1, 0, 2))
+
+        if n_tc:
+            CiU = c_solve(term_J)  # (n_tc, K, B)
+            M_w = jnp.asarray(np.eye(n_tc), dtype)[:, :, None] + jnp.sum(
+                term_J[:, None, :, :] * CiU[None, :, :, :], axis=2
+            )  # (n_tc, n_tc, B)
+
+        def h_solve(X):
+            """H^{-1} X for stacked rows (R, K, B), via Woodbury."""
+            CiX = c_solve(X)
+            if not n_tc:
+                return CiX
+            UtCiX = jnp.sum(
+                term_J[:, None, :, :] * CiX[None, :, :, :], axis=2
+            )  # (n_tc, R, B)
+            W = jnp.stack(
+                [
+                    _tiny_spd_solve(M_w, UtCiX[:, j, :])
+                    for j in range(X.shape[0])
+                ],
+                axis=1,
+            )  # (n_tc, R, B)
+            corr = jnp.sum(
+                W[:, :, None, :] * CiU[:, None, :, :], axis=0
+            )  # (R, K, B)
+            return CiX - corr
+
+        def h_mul(x):
+            """H x for x (K, B) — used by the refinement step."""
+            out = jnp.asarray(self._Hu, dtype) @ x + lam[None, :] * x
+            if n_tc:
+                Ux = jnp.sum(term_J * x[None], axis=1)  # (n_tc, B)
+                out = out + jnp.sum(term_J * Ux[:, None, :], axis=0)
+            return out
 
         sol = h_solve(jnp.concatenate([A_bar, g[None]], axis=0))
         HiAt, Hig = sol[:n_t], sol[n_t]
@@ -292,10 +357,10 @@ class _LanesProblem:
             A_Hig = jnp.sum(A_bar * Hig[None], axis=1)
             nu = _tiny_spd_solve(S_bar, c_bar - A_Hig)  # (n_t, B)
             du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
-            # One factor-reusing refinement step (f32 digit recovery).
-            H_du = jnp.sum(H * du[None], axis=1)
+            # One refinement step (f32 digit recovery; reuses the
+            # spectral basis and Woodbury pieces).
             At_nu = jnp.sum(A_bar * nu[:, None, :], axis=0)
-            res_d = -g - (H_du + At_nu)
+            res_d = -g - (h_mul(du) + At_nu)
             res_c = -c_bar - jnp.sum(A_bar * du[None], axis=1)
             Hi_rd = h_solve(res_d[None])[0]
             e_y = _tiny_spd_solve(
@@ -370,9 +435,6 @@ class _LanesProblem:
                 jnp.all(jnp.isfinite(nu), axis=0)
                 if n_t else jnp.ones((B,), bool)
             )
-            & jnp.all(
-                jnp.isfinite(jnp.diagonal(L, axis1=1, axis2=2)), axis=1
-            )
         )
 
         c_full = jnp.concatenate(
@@ -393,8 +455,20 @@ def _solve_lanes(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
 def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
     dtype = Z0.u.dtype
     B = problem.B
-    alphas = [0.5 ** i for i in range(config.max_line_search_iterations)]
+    n_ls = config.max_line_search_iterations
+    alphas = [0.5 ** i for i in range(n_ls)]
     alphas_arr = jnp.asarray(alphas, dtype)
+    # All line-search candidates evaluate as ONE folded problem over an
+    # (alphas x instances) lane axis — one rollout instead of n_ls.
+    trials = problem.tiled(n_ls)
+    alpha_fold = jnp.broadcast_to(
+        alphas_arr[:, None], (n_ls, B)
+    ).reshape(n_ls * B)
+
+    def rep_trials(arr):
+        return jnp.broadcast_to(
+            arr[..., None, :], arr.shape[:-1] + (n_ls, B)
+        ).reshape(arr.shape[:-1] + (n_ls * B,))
 
     def iteration(carry, _):
         Z, lam, mu, merit_prev, done, term, fo_carry = carry
@@ -412,15 +486,13 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
         phi0 = cost + mu_new * viol1
         dphi = jr_dz - mu_new * viol1
 
-        phis = []
-        for alpha in alphas:
-            Za = problem.retract(Z, dZ, alpha)
-            ra, ca = problem.evaluate(Za)
-            phis.append(
-                0.5 * jnp.sum(ra * ra, axis=0)
-                + mu_new * jnp.sum(jnp.abs(ca), axis=0)
-            )
-        phi_trials = jnp.stack(phis)  # (A, B)
+        Z_f = _Z(xs=rep_trials(Z.xs), u=rep_trials(Z.u))
+        dZ_f = _Z(xs=rep_trials(dZ.xs), u=rep_trials(dZ.u))
+        Za = trials.retract(Z_f, dZ_f, alpha_fold)
+        ra, ca = trials.evaluate(Za)
+        cost_a = 0.5 * jnp.sum(ra * ra, axis=0).reshape(n_ls, B)
+        viol_a = jnp.sum(jnp.abs(ca), axis=0).reshape(n_ls, B)
+        phi_trials = cost_a + mu_new[None] * viol_a  # (A, B)
         phi_trials = jnp.where(jnp.isfinite(phi_trials), phi_trials, jnp.inf)
         accepts = phi_trials <= phi0 + config.armijo_c1 * (
             alphas_arr[:, None] * dphi

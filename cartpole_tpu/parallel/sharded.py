@@ -128,6 +128,7 @@ def make_sharded_step(
     axis_name: str = SCENARIO_AXIS,
     donate_state: bool = True,
     batched_params: bool = False,
+    layout: str = "vmap",
 ):
     """Build the jitted scenario-sharded batched MPC step.
 
@@ -139,13 +140,24 @@ def make_sharded_step(
     every leaf of ``dynamics_params`` carries the sharded batch axis too —
     the parameter-grid sweeps of BASELINE.json (scenarios x (mass, length)).
 
+    ``layout``: per-shard batching strategy — "vmap" (generic; any
+    kkt_method) or "lanes" (the batch-in-lanes condensed fast path,
+    ``mpc/lanes.py``; requires ``kkt_method="condensed"``).
+
     The MPC state is donated by default: warm starts live on-device across
     receding-horizon ticks with zero host round-trips (SURVEY.md §7 hard
     part 6).
     """
     p_axis = 0 if batched_params else None
     p_spec = P(axis_name) if batched_params else P()
-    batched = jax.vmap(mpc.step, in_axes=(0, 0, p_axis, 0))
+    if layout == "lanes":
+        from ..mpc.lanes import step_lanes
+
+        batched = lambda st, xs, dp, sp: step_lanes(mpc, st, xs, dp, sp)
+    elif layout == "vmap":
+        batched = jax.vmap(mpc.step, in_axes=(0, 0, p_axis, 0))
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     axis_size = int(mesh.shape[axis_name])
 
@@ -173,6 +185,7 @@ def make_sharded_closed_loop(
     num_steps: int,
     axis_name: str = SCENARIO_AXIS,
     batched_params: bool = False,
+    layout: str = "vmap",
 ):
     """Build the jitted scenario-sharded closed-loop runner.
 
@@ -181,14 +194,24 @@ def make_sharded_closed_loop(
     loop (MPC solve -> 1 kHz plant -> warm-start carry) compiled into one
     XLA program per shard, with one diagnostics reduction at the end.
     ``batched_params=True`` gives every scenario its own plant parameters
-    (sharded leading axis on each leaf).
+    (sharded leading axis on each leaf). ``layout``: "vmap" (generic) or
+    "lanes" (batch-in-lanes condensed fast path).
     """
     p_axis = 0 if batched_params else None
     p_spec = P(axis_name) if batched_params else P()
-    batched = jax.vmap(
-        lambda x0, dp, sp: run_closed_loop(mpc, x0, dp, num_steps, sp),
-        in_axes=(0, p_axis, 0),
-    )
+    if layout == "lanes":
+        from ..mpc.lanes import run_closed_loop_lanes
+
+        batched = lambda x0, dp, sp: run_closed_loop_lanes(
+            mpc, x0, dp, num_steps, sp
+        )
+    elif layout == "vmap":
+        batched = jax.vmap(
+            lambda x0, dp, sp: run_closed_loop(mpc, x0, dp, num_steps, sp),
+            in_axes=(0, p_axis, 0),
+        )
+    else:
+        raise ValueError(f"unknown layout {layout!r}")
 
     axis_size = int(mesh.shape[axis_name])
 
