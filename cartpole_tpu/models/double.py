@@ -100,9 +100,11 @@ def double_cartpole_dynamics(
     a33 = m_2 * l_2 * l_2
 
     # Generalized external forces: Q_q = sum_i f_i . dp_i/dq.
-    q_x = jnp.zeros(())
-    q_1 = jnp.zeros(())
-    q_2 = jnp.zeros(())
+    # (dtype-pinned: a default-dtype zeros(()) would promote the whole
+    # computation to f64 under jax_enable_x64.)
+    q_x = jnp.zeros((), x.dtype)
+    q_1 = jnp.zeros((), x.dtype)
+    q_2 = jnp.zeros((), x.dtype)
     if f_base is not None:
         f_base = jnp.asarray(f_base)
         q_x = q_x + f_base[0]

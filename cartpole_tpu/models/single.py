@@ -90,8 +90,10 @@ def single_cartpole_dynamics(
     v1y = l_1 * c * th_v
 
     # Generalized external forces: Q_q = f . dp/dq for each applied point.
-    q_b = jnp.zeros(())
-    q_th = jnp.zeros(())
+    # (dtype-pinned: a default-dtype zeros(()) would promote the whole
+    # computation to f64 under jax_enable_x64.)
+    q_b = jnp.zeros((), x.dtype)
+    q_th = jnp.zeros((), x.dtype)
     if f_base is not None:
         f_base = jnp.asarray(f_base)
         q_b = q_b + f_base[0]  # d(base)/d(b_x) = (1, 0); d(base)/d(th) = 0.

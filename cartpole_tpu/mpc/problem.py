@@ -45,8 +45,29 @@ def _tiny_spd_solve(S, b):
     Cholesky — avoids XLA's batched-LAPACK custom calls for matrices far
     below their efficient size range. ``S`` is ``(n, n)`` or ``(n, n, B)``
     (lanes layout), ``b`` ``(n,)`` / ``(n, B)``: every scalar op broadcasts
-    over the trailing batch axis."""
+    over the trailing batch axis.
+
+    Robustness: ``S`` here is always a Gram matrix (SPD in exact
+    arithmetic), but at stiff iterates its entries are quadratic forms of
+    long Jacobian-chain products spanning ~1e30 — an *absolute* jitter is
+    relatively meaningless at that scale, and in f32 (eps 6e-8)
+    cancellation can push a Cholesky pivot negative -> sqrt -> NaN -> the
+    whole solve poisoned (the round-1 ``n_failed`` bench defect). Two
+    guards make the factorization total: a scale-RELATIVE ridge on the
+    diagonal (LM-spirit damping that bounds the condition number the
+    factorization sees), and a pivot floor at the ridge level so sqrt
+    never sees a negative. Both are ~eps-sized perturbations in the
+    well-conditioned regime; in the pathological regime they turn NaN
+    into a finite (heavily damped) step that the merit line search is
+    free to reject."""
     n = S.shape[0]
+    eps_rel = 1.0e-5 if S.dtype == jnp.float32 else 1.0e-13
+    diag_scale = S[0, 0]
+    for i in range(1, n):
+        diag_scale = diag_scale + S[i, i]
+    ridge = eps_rel * jnp.abs(diag_scale) / n + jnp.asarray(
+        1.0e-30, S.dtype
+    )
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
@@ -54,7 +75,7 @@ def _tiny_spd_solve(S, b):
             for k in range(j):
                 acc = acc - L[i][k] * L[j][k]
             if i == j:
-                L[i][j] = jnp.sqrt(acc)
+                L[i][j] = jnp.sqrt(jnp.maximum(acc + ridge, ridge))
             else:
                 L[i][j] = acc / L[j][j]
     y = [None] * n

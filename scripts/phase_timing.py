@@ -8,7 +8,13 @@ reference exposes through mini_opt's trace_collector
 (`/root/reference/optimization/wasm.cc:122-138`), reconstructed for the
 actual TPU solve.
 
+With ``--trace out.json`` the measured phases are also recorded into
+``cartpole_tpu.utils.tracing.TraceCollector`` and saved as Chrome-trace
+JSON — the device-side counterpart of the reference's ``getTraces``
+export (one 'X' event per phase, durations from the device timings).
+
 Usage: python scripts/phase_timing.py [--batch 4096] [--reps 20]
+       [--trace traces.json]
 """
 
 import argparse
@@ -53,6 +59,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--trace", default=None, metavar="OUT_JSON",
+                    help="also record phases into the TraceCollector and "
+                    "save Chrome-trace JSON (the getTraces analog)")
     args = ap.parse_args()
 
     from cartpole_tpu import (
@@ -120,6 +129,33 @@ def main():
 
         t_ls1 = _timed(ls_one, (Z0,), reps, "evaluate (1 alpha)")
 
+        # Folded line search: all 5 alphas in ONE rollout over an
+        # (alphas x instances) lane axis — how the real solver runs it.
+        n_ls = mpc.params.max_line_search_iterations
+        trials = problem.tiled(n_ls)
+        alphas = jnp.broadcast_to(
+            jnp.asarray([0.5 ** i for i in range(n_ls)], dtype)[:, None],
+            (n_ls, B),
+        ).reshape(n_ls * B)
+
+        def rep_t(arr):
+            return jnp.broadcast_to(
+                arr[..., None, :], arr.shape[:-1] + (n_ls, B)
+            ).reshape(arr.shape[:-1] + (n_ls * B,))
+
+        def ls_folded(Z):
+            def body(carry, _):
+                Z_ = carry
+                Zf = _Z(xs=rep_t(Z_.xs), u=rep_t(Z_.u))
+                Za = trials.retract(Zf, Zf, 1e-6 * alphas)
+                r, c = trials.evaluate(Za)
+                Z2 = _Z(xs=Z_.xs + 0.0 * jnp.sum(c), u=Z_.u)
+                return Z2, None
+            Zf, _ = jax.lax.scan(body, Z, None, length=reps)
+            return Zf
+
+        t_lsf = _timed(ls_folded, (Z0,), reps, "line search (5 folded)")
+
         # Guess-fill / predicted rollout (K steps, batch-lanes).
         def roll(x, u):
             def body(carry, _):
@@ -133,30 +169,49 @@ def main():
 
         t_roll = _timed(roll, (xc, u0), reps, "window rollout (K steps)")
 
-        # KKT block alone: build H from fixed term_J and solve.
+        # Spectral KKT block alone: the Woodbury/eigenbasis solve on fixed
+        # condensation outputs (what replaced the batched Cholesky).
         term_J = jnp.ones((problem.n_tc, K, B), dtype) * 0.01
         g = jnp.ones((K, B), dtype)
         A_bar = jnp.ones((problem.n_t, K, B), dtype) * 0.02
         c_bar = jnp.ones((problem.n_t, B), dtype) * 0.1
+        lam_k = jnp.full((B,), 0.1, dtype)
 
-        def kkt(term_J, g, A_bar, c_bar):
-            from cartpole_tpu.mpc.problem import _tiny_spd_solve
-            Hu = jnp.asarray(problem._Hu, dtype)
+        from cartpole_tpu.mpc.problem import _tiny_spd_solve
+        Q = jnp.asarray(problem._Hu_Q, dtype)
+        eigs = jnp.asarray(problem._Hu_eigs, dtype)
+        n_tc, n_t = problem.n_tc, problem.n_t
 
+        def spectral(term_J, g, A_bar, c_bar, lam_):
             def body(carry, _):
                 tJ, g_, A_, c_ = carry
-                H = jnp.sum(tJ[:, :, None, :] * tJ[:, None, :, :], axis=0) \
-                    + Hu[:, :, None]
-                Hb = jnp.transpose(H, (2, 0, 1))
-                L = jnp.linalg.cholesky(Hb)
-                rb = jnp.transpose(
-                    jnp.concatenate([A_, g_[None]], axis=0), (2, 1, 0))
-                sol = jnp.transpose(
-                    jax.scipy.linalg.cho_solve((L, True), rb), (2, 1, 0))
-                HiAt, Hig = sol[:problem.n_t], sol[problem.n_t]
+                d_inv = 1.0 / (eigs[:, None] + lam_[None, :])
+
+                def c_solve(X):
+                    R = X.shape[0]
+                    X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
+                    Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
+                    Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
+                    return jnp.transpose(Zr, (1, 0, 2))
+
+                CiU = c_solve(tJ)
+                M_w = jnp.eye(n_tc, dtype=dtype)[:, :, None] + jnp.sum(
+                    tJ[:, None, :, :] * CiU[None, :, :, :], axis=2)
+
+                def h_solve(X):
+                    CiX = c_solve(X)
+                    UtCiX = jnp.sum(
+                        tJ[:, None, :, :] * CiX[None, :, :, :], axis=2)
+                    W = jnp.stack(
+                        [_tiny_spd_solve(M_w, UtCiX[:, j, :])
+                         for j in range(X.shape[0])], axis=1)
+                    return CiX - jnp.sum(
+                        W[:, :, None, :] * CiU[:, None, :, :], axis=0)
+
+                sol = h_solve(jnp.concatenate([A_, g_[None]], axis=0))
+                HiAt, Hig = sol[:n_t], sol[n_t]
                 S_bar = jnp.sum(
-                    A_[:, None, :, :] * HiAt[None, :, :, :], axis=2
-                ) + 1e-12 * jnp.eye(problem.n_t, dtype=dtype)[:, :, None]
+                    A_[:, None, :, :] * HiAt[None, :, :, :], axis=2)
                 nu = _tiny_spd_solve(
                     S_bar, c_ - jnp.sum(A_ * Hig[None], axis=1))
                 du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
@@ -165,7 +220,8 @@ def main():
                 body, (term_J, g, A_bar, c_bar), None, length=reps)
             return tJf
 
-        t_kkt = _timed(kkt, (term_J, g, A_bar, c_bar), reps, "KKT (chol+solve)")
+        t_kkt = _timed(spectral, (term_J, g, A_bar, c_bar, lam_k), reps,
+                       "KKT (spectral)")
 
         # One full MPC tick for reference.
         st = MPCState(
@@ -183,12 +239,38 @@ def main():
     ls = mpc.params.max_line_search_iterations
     print()
     print(f"tick model: {it} x condensed_step  = {it*t_cstep*1e3:8.2f} ms")
-    print(f"            {it} x {ls} x evaluate   = {it*ls*t_ls1*1e3:8.2f} ms")
+    print(f"            {it} x folded-{ls} LS    = {it*t_lsf*1e3:8.2f} ms")
     print(f"            2 x window rollout       = {2*t_roll*1e3:8.2f} ms")
     print(f"            (KKT inside step:        {it*t_kkt*1e3:8.2f} ms)")
-    model = it * t_cstep + it * ls * t_ls1 + 2 * t_roll
+    model = it * t_cstep + it * t_lsf + 2 * t_roll
     print(f"            model total {model*1e3:8.2f} ms vs measured tick "
           f"{t_tick*1e3:8.2f} ms")
+
+    if args.trace:
+        # Device-phase Chrome trace through the TraceCollector (the
+        # reference's mini_opt getTraces surface, wasm.cc:122-138):
+        # phases laid out sequentially as one modeled solver iteration,
+        # durations from the measured device timings.
+        from cartpole_tpu.utils.tracing import (
+            TraceCollector, set_tracing_enabled,
+        )
+        set_tracing_enabled(True)
+        col = TraceCollector.get_instance()
+        col.clear()
+        t0 = 0
+        phases = [
+            ("linearize+condense", max(t_cstep - t_kkt, 0.0) * 1e6),
+            ("kkt_spectral_solve", t_kkt * 1e6),
+            ("line_search_folded", t_lsf * 1e6),
+        ]
+        for _ in range(it):
+            for name, dur in phases:
+                col.record(name, int(t0), int(dur),
+                           batch=B, device=str(jax.devices()[0].platform))
+                t0 += dur
+        col.record("predicted_rollout", int(t0), int(t_roll * 1e6), batch=B)
+        col.save(args.trace)
+        print(f"\nChrome trace ({it} modeled iterations) -> {args.trace}")
 
 
 if __name__ == "__main__":
