@@ -76,6 +76,11 @@ class TraceCollector:
         with self._lock:
             self._events.append(event)
 
+    def record_at(self, name: str, ts_us: int, dur_us: int, **args) -> None:
+        """Record with an explicit timeline offset (for replaying measured
+        device phases onto a synthetic timeline, ts starting at 0)."""
+        self.record(name, self._t0_us + ts_us, dur_us, **args)
+
     def clear(self) -> None:
         with self._lock:
             self._events.clear()

@@ -265,10 +265,10 @@ def main():
         ]
         for _ in range(it):
             for name, dur in phases:
-                col.record(name, int(t0), int(dur),
-                           batch=B, device=str(jax.devices()[0].platform))
+                col.record_at(name, int(t0), int(dur),
+                              batch=B, device=str(jax.devices()[0].platform))
                 t0 += dur
-        col.record("predicted_rollout", int(t0), int(t_roll * 1e6), batch=B)
+        col.record_at("predicted_rollout", int(t0), int(t_roll * 1e6), batch=B)
         col.save(args.trace)
         print(f"\nChrome trace ({it} modeled iterations) -> {args.trace}")
 

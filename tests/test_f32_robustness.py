@@ -20,7 +20,6 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from cartpole_tpu import OptimizationParams, default_single_params, make_mpc
 from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
