@@ -35,6 +35,12 @@ class CartPoleModel:
     #: Optional fj(params, x, u) -> (x_dot, J_x, J_u) with machine-generated
     #: analytic Jacobians (solver hot path; AD fallback used when None).
     dynamics_jac: Any = None
+    #: Optional rows-out variants for structure-of-arrays rollouts
+    #: (``ops/lanes.py``): f(params, x_rows, u) -> x_dot_rows and
+    #: fj(params, x_rows, u) -> (x_dot_rows, J_x_rows, J_u_rows), all
+    #: (nested) tuples of per-coordinate arrays.
+    dynamics_core: Any = None
+    dynamics_jac_core: Any = None
 
     def default_params(self):
         return self.params_type()
@@ -48,6 +54,8 @@ SINGLE_CARTPOLE = CartPoleModel(
     energy=_single.single_cartpole_energy,
     params_type=SingleCartPoleParams,
     dynamics_jac=_single.single_cartpole_dynamics_jac,
+    dynamics_core=_single.single_cartpole_dynamics_core,
+    dynamics_jac_core=_single.single_cartpole_dynamics_jac_core,
 )
 
 DOUBLE_CARTPOLE = CartPoleModel(
@@ -58,6 +66,8 @@ DOUBLE_CARTPOLE = CartPoleModel(
     energy=_double.double_cartpole_energy,
     params_type=DoubleCartPoleParams,
     dynamics_jac=_double.double_cartpole_dynamics_jac,
+    dynamics_core=_double.double_cartpole_dynamics_core,
+    dynamics_jac_core=_double.double_cartpole_dynamics_jac_core,
 )
 
 _REGISTRY = {m.name: m for m in (SINGLE_CARTPOLE, DOUBLE_CARTPOLE)}

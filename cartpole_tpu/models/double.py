@@ -138,6 +138,30 @@ def double_cartpole_dynamics_jac(params: DoubleCartPoleParams, x, u):
     return _double_gen.double_dynamics_jac(pt, jnp.asarray(x), u)
 
 
+def double_cartpole_dynamics_core(
+    params: DoubleCartPoleParams, x_rows, u, forces=None
+):
+    """Rows-out dynamics for structure-of-arrays rollouts (see
+    ``models/single.py::single_cartpole_dynamics_core``). ``forces``:
+    optional ``(f_b_x, f_b_y, f_1_x, f_1_y, f_2_x, f_2_y)``."""
+    from . import _double_gen
+
+    pt = (
+        params.m_b, params.m_1, params.m_2, params.l_1, params.l_2, params.g,
+    )
+    return _double_gen.double_dynamics_core(pt, x_rows, u, forces)
+
+
+def double_cartpole_dynamics_jac_core(params: DoubleCartPoleParams, x_rows, u):
+    """Rows-out ``(x_dot, J_x, J_u)`` as nested tuples."""
+    from . import _double_gen
+
+    pt = (
+        params.m_b, params.m_1, params.m_2, params.l_1, params.l_2, params.g,
+    )
+    return _double_gen.double_dynamics_jac_core(pt, x_rows, u)
+
+
 def double_cartpole_energy(params: DoubleCartPoleParams, x):
     """Total mechanical energy T + V (conserved: the reference double model
     has no dissipative terms)."""

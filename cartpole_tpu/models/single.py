@@ -152,6 +152,38 @@ def single_cartpole_dynamics_jac(params: SingleCartPoleParams, x, u):
     return _single_gen.single_dynamics_jac(pt, jnp.asarray(x), u)
 
 
+def _gen_params(params: SingleCartPoleParams):
+    return (
+        params.m_b, params.m_1, params.l_1, params.g, params.mu_b,
+        params.v_mu_b, params.c_d_1, params.x_s, params.k_s,
+    )
+
+
+def single_cartpole_dynamics_core(
+    params: SingleCartPoleParams, x_rows, u, forces=None
+):
+    """Rows-out dynamics for structure-of-arrays rollouts: ``x_rows`` is a
+    tuple of per-coordinate arrays, the return a matching tuple (no packed
+    ``(sd, ...)`` intermediate — the batch-in-lanes padding fix,
+    ``ops/lanes.py``). ``forces``: optional ``(f_b_x, f_b_y, f_m_x,
+    f_m_y)`` per-point external forces."""
+    from . import _single_gen
+
+    return _single_gen.single_dynamics_core(
+        _gen_params(params), x_rows, u, forces
+    )
+
+
+def single_cartpole_dynamics_jac_core(params: SingleCartPoleParams, x_rows, u):
+    """Rows-out ``(x_dot, J_x, J_u)`` as nested tuples (constant entries
+    are Python literals — chain-rule products against them fold away)."""
+    from . import _single_gen
+
+    return _single_gen.single_dynamics_jac_core(
+        _gen_params(params), x_rows, u
+    )
+
+
 def single_cartpole_energy(params: SingleCartPoleParams, x):
     """Total mechanical energy T + V (test invariant: conserved when
     mu_b = c_d_1 = k_s = 0 and no control/external force)."""

@@ -36,12 +36,15 @@ from ..ops.integrate import mod_pi
 from ..ops.lanes import (
     bmv,
     rollout_lanes,
+    rollout_rows,
     segment_rollout_with_jac_lanes,
+    segment_rollout_with_jac_scan,
 )
 from ..ops.solver import NLSConfig, NLSOutputs, NLSTerminationState
 from .closed_loop import ClosedLoopResult
 from .controller import MPC, MPCOutputs, MPCState
 from .problem import _tiny_spd_solve
+
 
 __all__ = ["step_lanes", "run_closed_loop_lanes", "simulator_step_lanes"]
 
@@ -196,27 +199,50 @@ class _LanesProblem:
         useg = Z.u.reshape(S, sp, B).transpose(1, 0, 2).reshape(sp, S * B)
         return x_start, useg
 
+    def _fold_segment_rows(self, Z: _Z):
+        """Rows (structure-of-arrays) fold: per-coordinate (S*B,) start
+        states — no packed (sd, M) intermediate is ever built, which is
+        what keeps the rollouts off the sublane-padding path
+        (``ops/lanes.py`` SoA notes)."""
+        sd, S, sp, B = self.sd, self.S, self.sp, self.B
+        x_rows = tuple(Z.xs[i, :-1, :].reshape(S * B) for i in range(sd))
+        useg = Z.u.reshape(S, sp, B).transpose(1, 0, 2).reshape(sp, S * B)
+        return x_rows, useg
+
     def _constraints(self, Z: _Z):
         """Full equality-constraint values, (n_eq, B); row order matches
         ``MPCProblemSpec.constraints`` (defects s-major, pins, terminal)."""
         spec = self.spec
         sd, S, B = self.sd, self.S, self.B
         model, p = spec.model, spec.params
-        x_start, useg = self._fold_segments(Z)
         dp = self.fold(S)
-        f = lambda x_, u_: model.dynamics(dp, x_, u_)
-        x_end = rollout_lanes(
-            f, x_start, useg, p.control_dt, model.angle_indices
-        ).reshape(sd, S, B)
-        defect = _wrap_rows(x_end - Z.xs[:, 1:, :], model.angle_indices)
+        angle = model.angle_indices
+        if model.dynamics_core is not None:
+            x_rows, useg = self._fold_segment_rows(Z)
+            fr = lambda xr, u_: model.dynamics_core(dp, xr, u_)
+            xe_rows = rollout_rows(fr, x_rows, useg, p.control_dt, angle)
+            defect_rows = []
+            for i in range(sd):
+                d = xe_rows[i].reshape(S, B) - Z.xs[i, 1:, :]
+                defect_rows.append(mod_pi(d) if i in angle else d)
+            # s-major packing (matches MPCProblemSpec.constraints order).
+            defect = jnp.stack(
+                [defect_rows[i][s] for s in range(S) for i in range(sd)]
+            )
+        else:
+            x_start, useg = self._fold_segments(Z)
+            f = lambda x_, u_: model.dynamics(dp, x_, u_)
+            x_end = rollout_lanes(
+                f, x_start, useg, p.control_dt, angle
+            ).reshape(sd, S, B)
+            defect = _wrap_rows(x_end - Z.xs[:, 1:, :], angle).transpose(
+                1, 0, 2
+            ).reshape(S * sd, B)
         pin = _wrap_rows(
             Z.xs[:, 0, :] - self.x_current, model.angle_indices
         )
         c_term = self._terminal_eq_residuals(Z)
-        return jnp.concatenate(
-            [defect.transpose(1, 0, 2).reshape(S * sd, B), pin, c_term],
-            axis=0,
-        )
+        return jnp.concatenate([defect, pin, c_term], axis=0)
 
     def evaluate(self, Z: _Z):
         return self.cost_residuals(Z), self._constraints(Z)
@@ -248,15 +274,30 @@ class _LanesProblem:
         term_costs, term_eqs = spec.terminal_costs, spec.terminal_eqs
         n_tc, n_t = self.n_tc, self.n_t
 
-        x_start, useg = self._fold_segments(Z)
         dp = self.fold(S)
-        fj = lambda x_, u_: model.dynamics_jac(dp, x_, u_)
-        x_end, Jx, Ju = segment_rollout_with_jac_lanes(
-            fj, x_start, useg, p.control_dt, model.angle_indices
-        )
-        x_end = x_end.reshape(sd, S, B)
-        Jx = Jx.reshape(sd, sd, S, B)
-        Ju = Ju.reshape(sd, sp, S, B)
+        if model.dynamics_jac_core is not None:
+            # Rows (SoA) linearization: the 20-odd sequential dynamics+
+            # chain-rule evaluations run on per-coordinate (S*B,) arrays
+            # (no sublane padding / scatter, ~5x on v5e) inside one
+            # scanned RK4 body (compile-time control); results come back
+            # packed for the tile-friendly (.., S, B) condensation.
+            x_rows, useg = self._fold_segment_rows(Z)
+            fjr = lambda xr, u_: model.dynamics_jac_core(dp, xr, u_)
+            x_end, Jx, Ju = segment_rollout_with_jac_scan(
+                fjr, x_rows, useg, p.control_dt, model.angle_indices
+            )
+            x_end = x_end.reshape(sd, S, B)
+            Jx = Jx.reshape(sd, sd, S, B)
+            Ju = Ju.reshape(sd, sp, S, B)
+        else:
+            x_start, useg = self._fold_segments(Z)
+            fj = lambda x_, u_: model.dynamics_jac(dp, x_, u_)
+            x_end, Jx, Ju = segment_rollout_with_jac_lanes(
+                fj, x_start, useg, p.control_dt, model.angle_indices
+            )
+            x_end = x_end.reshape(sd, S, B)
+            Jx = Jx.reshape(sd, sd, S, B)
+            Ju = Ju.reshape(sd, sp, S, B)
         defect = _wrap_rows(x_end - Z.xs[:, 1:, :], model.angle_indices)
         pin = _wrap_rows(Z.xs[:, 0, :] - self.x_current, model.angle_indices)
 
@@ -522,8 +563,15 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
             u=jnp.where(any_accept, Z_acc.u, Z.u),
         )
 
-        rel_change = jnp.abs(merit_prev - phi_new) / jnp.maximum(
-            jnp.abs(merit_prev), jnp.asarray(1.0e-30, dtype)
+        # merit_prev is +inf on iteration 0: keep the inf out of the
+        # division (inf/inf -> NaN trips NaN debugging / checkify).
+        prev_ok = jnp.isfinite(merit_prev)
+        mp = jnp.where(prev_ok, merit_prev, jnp.zeros((), dtype))
+        rel_change = jnp.where(
+            prev_ok,
+            jnp.abs(mp - phi_new)
+            / jnp.maximum(jnp.abs(mp), jnp.asarray(1.0e-30, dtype)),
+            jnp.asarray(jnp.inf, dtype),
         )
         conv_rel = any_accept & (rel_change < config.relative_exit_tol)
         conv_first = first_order < config.absolute_first_derivative_tol
@@ -653,24 +701,46 @@ def step_lanes(mpc: MPC, state: MPCState, x_current, dynamics_params,
 
     fold = _param_folder(dynamics_params, B)
     dp = fold(1)
-    f = lambda x_, u_: mpc.model.dynamics(dp, x_, u_)
-    _, xs_roll = rollout_lanes(
-        f, xc, u_guess, mpc.params.control_dt, mpc.model.angle_indices,
-        stack_states=True,
-    )  # xs_roll (sd, K, B)
-    shoot = jnp.concatenate(
-        [xc[:, None, :], xs_roll[:, sp - 1::sp, :]], axis=1
-    )  # (sd, N, B)
+    angle = mpc.model.angle_indices
+    core = mpc.model.dynamics_core
+    if core is not None:
+        # Rows (SoA) rollouts for the guess fill and predicted states.
+        xc_rows = tuple(xc[i] for i in range(sd))
+        fr = lambda xr, u_: core(dp, xr, u_)
+        _, steps = rollout_rows(
+            fr, xc_rows, u_guess, mpc.params.control_dt, angle,
+            stack_states=True,
+        )  # row tuple of (K, B)
+        shoot = jnp.stack(
+            [
+                jnp.concatenate([xc[i][None], steps[i][sp - 1::sp]], axis=0)
+                for i in range(sd)
+            ]
+        )  # (sd, N, B)
+    else:
+        f = lambda x_, u_: mpc.model.dynamics(dp, x_, u_)
+        _, xs_roll = rollout_lanes(
+            f, xc, u_guess, mpc.params.control_dt, angle, stack_states=True
+        )  # xs_roll (sd, K, B)
+        shoot = jnp.concatenate(
+            [xc[:, None, :], xs_roll[:, sp - 1::sp, :]], axis=1
+        )  # (sd, N, B)
     Z0 = _Z(xs=shoot, u=u_guess)
 
     problem = _LanesProblem(spec, xc, set_point, u_prev_cont, dynamics_params)
     Z, solver_outputs = _solve_lanes(problem, Z0, mpc.nls_config)
 
     u_out = Z.u  # (K, B)
-    _, predicted = rollout_lanes(
-        f, xc, u_out, mpc.params.control_dt, mpc.model.angle_indices,
-        stack_states=True,
-    )  # (sd, K, B)
+    if core is not None:
+        _, steps2 = rollout_rows(
+            fr, xc_rows, u_out, mpc.params.control_dt, angle,
+            stack_states=True,
+        )
+        predicted = jnp.stack(steps2)  # (sd, K, B)
+    else:
+        _, predicted = rollout_lanes(
+            f, xc, u_out, mpc.params.control_dt, angle, stack_states=True
+        )  # (sd, K, B)
 
     def pack(zt: _Z):
         """Lanes iterate -> batch-first packed decision vector (B, dim)."""
@@ -712,6 +782,27 @@ def simulator_step_lanes(
     hs = [internal_dt] * n_full
     if remainder > 1e-12:
         hs.append(remainder)
+
+    if f_base is None and f_mass is None and model.dynamics_core is not None:
+        # Rows (SoA) substeps — the hot closed-loop case (external pokes
+        # go through the packed path below, whose per-mass force mapping
+        # is model-specific). Equal substeps run in one scan; the
+        # remainder substep (different h) is a single extra step.
+        from ..ops.lanes import rk4_step_rows, rollout_rows, wrap_angles_rows
+
+        sd = x.shape[0]
+        rows = tuple(x[i] for i in range(sd))
+        fr = lambda xr, u_: model.dynamics_core(dynamics_params, xr, u_)
+        u = jnp.asarray(u)
+        if n_full:
+            rows = rollout_rows(
+                fr, rows, jnp.broadcast_to(u, (n_full,) + u.shape),
+                internal_dt, model.angle_indices,
+            )
+        if remainder > 1e-12:
+            rows = rk4_step_rows(fr, rows, u, remainder)
+            rows = wrap_angles_rows(rows, model.angle_indices)
+        return jnp.stack(rows)
 
     def f(x_, u_):
         return model.dynamics(dynamics_params, x_, u_, f_base, f_mass)

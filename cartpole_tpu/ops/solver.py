@@ -388,8 +388,17 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         z_next = jnp.where(any_accept, z_accepted, z)
 
         # Termination checks (evaluated on the *updated* iterate).
-        rel_change = jnp.abs(merit_prev - phi_new) / jnp.maximum(
-            jnp.abs(merit_prev), jnp.asarray(1.0e-30, dtype)
+        # merit_prev is +inf on iteration 0; keep the inf out of the
+        # division (inf/inf -> NaN would be benign under the comparison
+        # below but trips NaN debugging / checkify) and force the "no
+        # previous merit" answer explicitly.
+        prev_ok = jnp.isfinite(merit_prev)
+        mp = jnp.where(prev_ok, merit_prev, jnp.zeros((), dtype))
+        rel_change = jnp.where(
+            prev_ok,
+            jnp.abs(mp - phi_new)
+            / jnp.maximum(jnp.abs(mp), jnp.asarray(1.0e-30, dtype)),
+            jnp.asarray(jnp.inf, dtype),
         )
         conv_rel = any_accept & (rel_change < config.relative_exit_tol)
         conv_first = first_order < config.absolute_first_derivative_tol

@@ -8,6 +8,7 @@ contract becomes explicit checkpoint save/load of solver-state PyTrees.
 """
 
 from .checkpoint import load_state, save_state
+from .debug import DebugCheckError, assert_all_finite, checked, debug_mode
 from .logging import SolveLog, solve_log_entry, solver_summary
 from .tracing import (
     TraceCollector,

@@ -39,18 +39,41 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
 def _timed(fn, args, inner: int, label: str):
-    """Compile fn (scanned `inner` times, serialized), return best-of-3 s."""
-    f = jax.jit(fn)
-    out = f(*args)
-    np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]  # sync
-    best = math.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
+    """Per-call device time of ``fn``, dispatch-overhead-free.
+
+    The tunneled runtime adds ~30-60 ms of host dispatch + sync latency to
+    EVERY jit call (CLAUDE.md), which would swamp millisecond phases if
+    simply divided out. Two-point method: time the phase scanned ``inner``
+    and ``3*inner`` times inside one program each; the slope
+    ``(t_3n - t_n) / (2*inner)`` cancels the per-call constant exactly.
+    """
+
+    def scanned(n):
+        def body(carry, _):
+            return fn(*carry), None
+
+        def run(*a):
+            out, _ = jax.lax.scan(body, a, None, length=n)
+            return out
+
+        return jax.jit(run)
+
+    # fn must be carry-stable: returns the same pytree structure as args.
+    times = {}
+    for n in (inner, 3 * inner):
+        f = scanned(n)
         out = f(*args)
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]
-        best = min(best, time.perf_counter() - t0)
-    per = best / inner
-    print(f"{label:28s} {per*1e3:9.3f} ms/call  ({inner} serialized calls)",
+        np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]  # sync
+        best = math.inf
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = f(*args)
+            np.asarray(jax.tree.leaves(out)[0]).ravel()[:4]
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    per = (times[3 * inner] - times[inner]) / (2 * inner)
+    print(f"{label:28s} {per*1e3:9.3f} ms/call  "
+          f"(slope over {inner}->{3*inner} serialized calls)",
           flush=True)
     return per
 
@@ -104,28 +127,21 @@ def main():
 
     with jax.default_matmul_precision("float32"):
         # Full condensed step (linearize + condense + KKT + expand).
+        # Every phase fn maps its carry tuple to a same-structure tuple
+        # with a data dependency on the phase outputs, so _timed's scan
+        # serializes real work.
         def full_step(Z, lam):
-            def body(carry, _):
-                Z_, lam_ = carry
-                dZ, nu_inf, fo, jr, ok, r, c = problem.condensed_step(Z_, lam_)
-                # feed outputs back so iterations serialize
-                Z2 = _Z(xs=Z_.xs + 0.0 * dZ.xs, u=Z_.u + 0.0 * dZ.u)
-                return (Z2, lam_ + 0.0 * nu_inf), None
-            (Zf, _), _ = jax.lax.scan(body, (Z, lam), None, length=reps)
-            return Zf
+            dZ, nu_inf, fo, jr, ok, r, c = problem.condensed_step(Z, lam)
+            Z2 = _Z(xs=Z.xs + 0.0 * dZ.xs, u=Z.u + 0.0 * dZ.u)
+            return (Z2, lam + 0.0 * nu_inf)
 
         t_cstep = _timed(full_step, (Z0, lam0), reps, "condensed_step")
 
         # Line-search evaluate (one alpha): retract + cost/constraints.
         def ls_one(Z):
-            def body(carry, _):
-                Z_ = carry
-                Za = problem.retract(Z_, _Z(xs=Z_.xs, u=Z_.u), 1e-6)
-                r, c = problem.evaluate(Za)
-                Z2 = _Z(xs=Z_.xs + 0.0 * jnp.sum(c) , u=Z_.u)
-                return Z2, None
-            Zf, _ = jax.lax.scan(body, Z, None, length=reps)
-            return Zf
+            Za = problem.retract(Z, _Z(xs=Z.xs, u=Z.u), 1e-6)
+            r, c = problem.evaluate(Za)
+            return (_Z(xs=Z.xs + 0.0 * jnp.sum(c), u=Z.u),)
 
         t_ls1 = _timed(ls_one, (Z0,), reps, "evaluate (1 alpha)")
 
@@ -144,28 +160,18 @@ def main():
             ).reshape(arr.shape[:-1] + (n_ls * B,))
 
         def ls_folded(Z):
-            def body(carry, _):
-                Z_ = carry
-                Zf = _Z(xs=rep_t(Z_.xs), u=rep_t(Z_.u))
-                Za = trials.retract(Zf, Zf, 1e-6 * alphas)
-                r, c = trials.evaluate(Za)
-                Z2 = _Z(xs=Z_.xs + 0.0 * jnp.sum(c), u=Z_.u)
-                return Z2, None
-            Zf, _ = jax.lax.scan(body, Z, None, length=reps)
-            return Zf
+            Zf = _Z(xs=rep_t(Z.xs), u=rep_t(Z.u))
+            Za = trials.retract(Zf, Zf, 1e-6 * alphas)
+            r, c = trials.evaluate(Za)
+            return (_Z(xs=Z.xs + 0.0 * jnp.sum(c), u=Z.u),)
 
         t_lsf = _timed(ls_folded, (Z0,), reps, "line search (5 folded)")
 
         # Guess-fill / predicted rollout (K steps, batch-lanes).
         def roll(x, u):
-            def body(carry, _):
-                x_ = carry
-                xe, xs = rollout_lanes(f, x_, u, 0.01,
-                                       mpc.model.angle_indices,
-                                       stack_states=True)
-                return xe, None
-            xf, _ = jax.lax.scan(body, x, None, length=reps)
-            return xf
+            xe, xs = rollout_lanes(f, x, u, 0.01, mpc.model.angle_indices,
+                                   stack_states=True)
+            return (xe, u)
 
         t_roll = _timed(roll, (xc, u0), reps, "window rollout (K steps)")
 
@@ -182,43 +188,38 @@ def main():
         eigs = jnp.asarray(problem._Hu_eigs, dtype)
         n_tc, n_t = problem.n_tc, problem.n_t
 
-        def spectral(term_J, g, A_bar, c_bar, lam_):
-            def body(carry, _):
-                tJ, g_, A_, c_ = carry
-                d_inv = 1.0 / (eigs[:, None] + lam_[None, :])
+        def spectral(tJ, g_, A_, c_, lam_):
+            d_inv = 1.0 / (eigs[:, None] + lam_[None, :])
 
-                def c_solve(X):
-                    R = X.shape[0]
-                    X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
-                    Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
-                    Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
-                    return jnp.transpose(Zr, (1, 0, 2))
+            def c_solve(X):
+                R = X.shape[0]
+                X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
+                Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
+                Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
+                return jnp.transpose(Zr, (1, 0, 2))
 
-                CiU = c_solve(tJ)
-                M_w = jnp.eye(n_tc, dtype=dtype)[:, :, None] + jnp.sum(
-                    tJ[:, None, :, :] * CiU[None, :, :, :], axis=2)
+            CiU = c_solve(tJ)
+            M_w = jnp.eye(n_tc, dtype=dtype)[:, :, None] + jnp.sum(
+                tJ[:, None, :, :] * CiU[None, :, :, :], axis=2)
 
-                def h_solve(X):
-                    CiX = c_solve(X)
-                    UtCiX = jnp.sum(
-                        tJ[:, None, :, :] * CiX[None, :, :, :], axis=2)
-                    W = jnp.stack(
-                        [_tiny_spd_solve(M_w, UtCiX[:, j, :])
-                         for j in range(X.shape[0])], axis=1)
-                    return CiX - jnp.sum(
-                        W[:, :, None, :] * CiU[:, None, :, :], axis=0)
+            def h_solve(X):
+                CiX = c_solve(X)
+                UtCiX = jnp.sum(
+                    tJ[:, None, :, :] * CiX[None, :, :, :], axis=2)
+                W = jnp.stack(
+                    [_tiny_spd_solve(M_w, UtCiX[:, j, :])
+                     for j in range(X.shape[0])], axis=1)
+                return CiX - jnp.sum(
+                    W[:, :, None, :] * CiU[:, None, :, :], axis=0)
 
-                sol = h_solve(jnp.concatenate([A_, g_[None]], axis=0))
-                HiAt, Hig = sol[:n_t], sol[n_t]
-                S_bar = jnp.sum(
-                    A_[:, None, :, :] * HiAt[None, :, :, :], axis=2)
-                nu = _tiny_spd_solve(
-                    S_bar, c_ - jnp.sum(A_ * Hig[None], axis=1))
-                du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
-                return (tJ + 0.0 * du[None], g_, A_, c_), None
-            (tJf, _, _, _), _ = jax.lax.scan(
-                body, (term_J, g, A_bar, c_bar), None, length=reps)
-            return tJf
+            sol = h_solve(jnp.concatenate([A_, g_[None]], axis=0))
+            HiAt, Hig = sol[:n_t], sol[n_t]
+            S_bar = jnp.sum(
+                A_[:, None, :, :] * HiAt[None, :, :, :], axis=2)
+            nu = _tiny_spd_solve(
+                S_bar, c_ - jnp.sum(A_ * Hig[None], axis=1))
+            du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
+            return (tJ + 0.0 * du[None], g_, A_, c_, lam_)
 
         t_kkt = _timed(spectral, (term_J, g, A_bar, c_bar, lam_k), reps,
                        "KKT (spectral)")
@@ -231,9 +232,10 @@ def main():
 
         def tick(st_, x_):
             out, st2 = step_lanes(mpc, st_, x_, dp, sp_)
-            return out.u, st2
+            return (st2, x_ + 0.0 * jnp.sum(out.u))
 
-        t_tick = _timed(tick, (st, jnp.asarray(x0, dtype)), 1, "full MPC tick")
+        t_tick = _timed(tick, (st, jnp.asarray(x0, dtype)), 2,
+                        "full MPC tick")
 
     it = mpc.params.max_iterations
     ls = mpc.params.max_line_search_iterations
