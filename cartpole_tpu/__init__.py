@@ -38,7 +38,9 @@ from .mpc import (
     Simulator,
     make_mpc,
     run_closed_loop,
+    run_closed_loop_lanes,
     simulator_step,
+    step_lanes,
 )
 from .ops import (
     NLSConfig,

@@ -1,6 +1,7 @@
 from .closed_loop import ClosedLoopResult, closed_loop_step, run_closed_loop
 from .config import OptimizationParams
 from .controller import MPC, MPCOutputs, MPCState, make_mpc
+from .lanes import run_closed_loop_lanes, simulator_step_lanes, step_lanes
 from .problem import MPCProblemSpec
 from .simulator import DEFAULT_INTERNAL_DT, Simulator, simulator_step
 
@@ -8,6 +9,9 @@ __all__ = [
     "ClosedLoopResult",
     "closed_loop_step",
     "run_closed_loop",
+    "run_closed_loop_lanes",
+    "simulator_step_lanes",
+    "step_lanes",
     "OptimizationParams",
     "MPC",
     "MPCOutputs",

@@ -220,7 +220,12 @@ class _LanesProblem:
         if model.dynamics_core is not None:
             x_rows, useg = self._fold_segment_rows(Z)
             fr = lambda xr, u_: model.dynamics_core(dp, xr, u_)
-            xe_rows = rollout_rows(fr, x_rows, useg, p.control_dt, angle)
+            # unroll=1: measured fastest for the short (T=sp) segment
+            # rollouts on v5e (scripts/probe_unroll.py); the default
+            # unroll=4 only pays off on the long window rollouts.
+            xe_rows = rollout_rows(
+                fr, x_rows, useg, p.control_dt, angle, unroll=1
+            )
             defect_rows = []
             for i in range(sd):
                 d = xe_rows[i].reshape(S, B) - Z.xs[i, 1:, :]

@@ -215,6 +215,7 @@ def rollout_rows(
     h,
     angle_indices: Tuple[int, ...] = (),
     stack_states: bool = False,
+    unroll: int = 4,
 ):
     """Rows-tuple rollout: ``us`` (T, M); returns the final row tuple, or
     ``(final, per_step)`` where ``per_step`` is a row tuple of (T, M)
@@ -223,7 +224,8 @@ def rollout_rows(
     One ``lax.scan`` over T — the RK4 body is compiled once, keeping the
     trace size independent of the horizon (an unrolled K=60 rollout of
     the generated double-pole kernel alone was tens of thousands of HLO
-    ops and blew CPU compile memory up)."""
+    ops and blew CPU compile memory up). ``unroll`` trades per-iteration
+    kernel-launch overhead against trace size."""
     import jax
 
     def body(x, u):
@@ -231,7 +233,9 @@ def rollout_rows(
         x = wrap_angles_rows(x, angle_indices)
         return x, (x if stack_states else None)
 
-    x, states = jax.lax.scan(body, tuple(x0_rows), us)
+    x, states = jax.lax.scan(
+        body, tuple(x0_rows), us, unroll=min(unroll, us.shape[0])
+    )
     if stack_states:
         return x, states
     return x
@@ -406,6 +410,7 @@ def segment_rollout_with_jac_scan(
     us,
     h,
     angle_indices: Tuple[int, ...] = (),
+    unroll: int = 1,
 ):
     """Shooting-segment Jacobian rollout: SoA inside, packed out.
 
@@ -446,7 +451,9 @@ def segment_rollout_with_jac_scan(
         x_next = wrap_angles_rows(x_next, angle_indices)
         return tuple(x_next), (pack_mat(A), jnp.stack(B))
 
-    x_rows, (As, Bs) = jax.lax.scan(body, tuple(x0_rows), us)
+    x_rows, (As, Bs) = jax.lax.scan(
+        body, tuple(x0_rows), us, unroll=min(unroll, T)
+    )
     # As (T, sd, sd, M), Bs (T, sd, M): accumulate across steps (packed,
     # unrolled — O(T^2/2) tiny matvecs).
     Jx = jnp.broadcast_to(beye(sd, dtype), (sd, sd, M))
