@@ -53,7 +53,7 @@ def _make_x0s(n, dtype, seed=0):
     return jnp.asarray(x0s, dtype)
 
 
-def _build_runner(args, n, ticks, kkt, dtype):
+def _build_runner(args, n, ticks, kkt, dtype, dp):
     from cartpole_tpu import OptimizationParams, make_mpc
     from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
     from cartpole_tpu.mpc.closed_loop import run_closed_loop
@@ -63,15 +63,21 @@ def _build_runner(args, n, ticks, kkt, dtype):
             max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
         )
     )
+    # ``dp`` is captured as a closure CONSTANT, not a traced argument:
+    # XLA then constant-folds the parameter arithmetic inside the
+    # generated dynamics kernels (~35% faster ticks on v5e). Same
+    # deployment semantics as the reference, whose UI rebuilds the
+    # optimizer whenever dynamics params change
+    # (viz/src/application.ts:279-373); our interactive driver does too.
     if args.layout == "lanes" and kkt == "condensed":
-        def run(x0s, dp, sps, st=None):
+        def run(x0s, sps, st=None):
             return run_closed_loop_lanes(
                 mpc, x0s, dp, ticks, sps, mpc_state=st
             )
     else:
         import jax as _jax
 
-        def run(x0s, dp, sps, st=None):
+        def run(x0s, sps, st=None):
             return _jax.vmap(
                 lambda x, s, st_: run_closed_loop(
                     mpc, x, dp, ticks, s, mpc_state=st_
@@ -81,10 +87,10 @@ def _build_runner(args, n, ticks, kkt, dtype):
     return mpc, jax.jit(run)
 
 
-def _time_run(run, x0s, dp, sps, reps):
+def _time_run(run, x0s, sps, reps):
     def once():
         t0 = time.perf_counter()
-        res = run(x0s, dp, sps)
+        res = run(x0s, sps)
         # Sync via host transfer of a small array: block_until_ready can
         # return early on tunneled-TPU platforms (CLAUDE.md).
         np.asarray(res.final_state[:4])
@@ -160,11 +166,11 @@ def main(argv=None):
         return _sweep(args, dp, dtype, dev)
 
     n, ticks = args.batch, args.ticks
-    mpc, run = _build_runner(args, n, ticks, args.kkt, dtype)
+    mpc, run = _build_runner(args, n, ticks, args.kkt, dtype, dp)
     x0s = _make_x0s(n, dtype)
     sps = jnp.zeros((n,), dtype)
 
-    best, res = _time_run(run, x0s, dp, sps, args.reps)
+    best, res = _time_run(run, x0s, sps, args.reps)
     n_failed = _health(res)
 
     solves = n * ticks
@@ -181,7 +187,7 @@ def main(argv=None):
         total_failed = 0
         n_chunks = max(1, args.upright_ticks // ticks)
         for _ in range(n_chunks):
-            res_c = run(x, dp, sps) if st is None else run(x, dp, sps, st)
+            res_c = run(x, sps) if st is None else run(x, sps, st)
             x = res_c.final_state
             st = res_c.final_mpc_state
             total_failed += _health(res_c)
@@ -218,10 +224,10 @@ def _sweep(args, dp, dtype, dev):
     rows = []
     batches = (64, 256, 1024, 4096, 16384)
     for n in batches:
-        mpc, run = _build_runner(args, n, args.ticks, args.kkt, dtype)
+        mpc, run = _build_runner(args, n, args.ticks, args.kkt, dtype, dp)
         x0s = _make_x0s(n, dtype)
         sps = jnp.zeros((n,), dtype)
-        best, res = _time_run(run, x0s, dp, sps, args.reps)
+        best, res = _time_run(run, x0s, sps, args.reps)
         rows.append({
             "batch": n,
             "ticks": args.ticks,

@@ -324,3 +324,55 @@ class TestLanesSimulator:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-12
         )
+
+
+class TestRolloutUnroll:
+    """`rollout_rows(..., unroll=)` is a pure scheduling knob: trajectories
+    must be bitwise identical across unroll factors, and the Jacobian
+    chain-products identical to ~1 ULP (XLA may refuse different
+    mul/add fusions per loop structure, reassociating one rounding)."""
+
+    def test_unroll_equivalence(self):
+        from cartpole_tpu.models.base import SINGLE_CARTPOLE
+        from cartpole_tpu.ops.lanes import rollout_rows
+
+        dp = default_single_params(jnp.float64)
+        rng = np.random.RandomState(7)
+        M, T = 33, 11
+        x0 = tuple(jnp.asarray(rng.uniform(-1, 1, M)) for _ in range(4))
+        us = jnp.asarray(rng.uniform(-5, 5, (T, M)))
+        fr = lambda xr, u_: SINGLE_CARTPOLE.dynamics_core(dp, xr, u_)
+
+        ref = rollout_rows(fr, x0, us, 0.01, (1,), unroll=1)
+        for unroll in (2, 4, T, T + 3):
+            got = rollout_rows(fr, x0, us, 0.01, (1,), unroll=unroll)
+            for i in range(4):
+                np.testing.assert_array_equal(
+                    np.asarray(got[i]), np.asarray(ref[i])
+                )
+
+    def test_unroll_equivalence_jac(self):
+        from cartpole_tpu.models.base import SINGLE_CARTPOLE
+        from cartpole_tpu.ops.lanes import segment_rollout_with_jac_scan
+
+        dp = default_single_params(jnp.float64)
+        rng = np.random.RandomState(8)
+        M, T = 17, 5
+        x0 = tuple(jnp.asarray(rng.uniform(-1, 1, M)) for _ in range(4))
+        us = jnp.asarray(rng.uniform(-5, 5, (T, M)))
+        fj = lambda xr, u_: SINGLE_CARTPOLE.dynamics_jac_core(dp, xr, u_)
+
+        xe1, Jx1, Ju1 = segment_rollout_with_jac_scan(
+            fj, x0, us, 0.01, (1,), unroll=1
+        )
+        xeT, JxT, JuT = segment_rollout_with_jac_scan(
+            fj, x0, us, 0.01, (1,), unroll=T
+        )
+        for a, b in zip(xe1, xeT):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_allclose(
+            np.asarray(Jx1), np.asarray(JxT), rtol=1e-14, atol=1e-15
+        )
+        np.testing.assert_allclose(
+            np.asarray(Ju1), np.asarray(JuT), rtol=1e-14, atol=1e-15
+        )
