@@ -45,23 +45,39 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
-def _make_x0s(n, dtype, seed=0):
+def _make_x0s(args, n, dtype, seed=0):
     rng = np.random.RandomState(seed)
-    x0s = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (n, 1))
-    x0s[:, 0] += rng.uniform(-0.5, 0.5, n)
-    x0s[:, 1] += rng.uniform(-0.5, 0.5, n)
+    if args.model == "double":
+        # Perturbed-upright stabilization: double-pole swing-up from hang
+        # is covered in tests/test_double_mpc.py; the bench regime is the
+        # (much more common in deployment) disturbance-rejection loop.
+        up = math.pi / 2
+        x0s = np.tile(np.array([0.0, up, up, 0.0, 0.0, 0.0]), (n, 1))
+        x0s[:, 0] += rng.uniform(-0.3, 0.3, n)
+        x0s[:, 1] += rng.uniform(-0.15, 0.15, n)
+        x0s[:, 2] += rng.uniform(-0.1, 0.1, n)
+    else:
+        x0s = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (n, 1))
+        x0s[:, 0] += rng.uniform(-0.5, 0.5, n)
+        x0s[:, 1] += rng.uniform(-0.5, 0.5, n)
     return jnp.asarray(x0s, dtype)
 
 
 def _build_runner(args, n, ticks, kkt, dtype, dp):
-    from cartpole_tpu import OptimizationParams, make_mpc
+    from cartpole_tpu import DOUBLE_CARTPOLE, OptimizationParams, make_mpc
     from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
     from cartpole_tpu.mpc.closed_loop import run_closed_loop
 
+    opt_kwargs = dict(
+        max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
+    )
+    if args.model == "double":
+        # The 0.4 s default window leaves double-pole perturbations on the
+        # edge of the region of attraction (tests/test_double_mpc.py).
+        opt_kwargs["window_length"] = 60
     mpc = make_mpc(
-        OptimizationParams(
-            max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
-        )
+        OptimizationParams(**opt_kwargs),
+        *(() if args.model == "single" else (DOUBLE_CARTPOLE,)),
     )
     # ``dp`` is captured as a closure CONSTANT, not a traced argument:
     # XLA then constant-folds the parameter arithmetic inside the
@@ -115,12 +131,13 @@ def _health(res):
     return int(np.sum((term == 3) | (term == 4)))
 
 
-def _upright_fraction(xf):
-    th = np.asarray(xf)[:, 1]
-    return float(np.mean(
+def _upright_fraction(xf, angle_indices=(1,)):
+    th = np.asarray(xf)[:, list(angle_indices)]
+    return float(np.mean(np.all(
         np.abs(np.mod(th - math.pi / 2 + math.pi, 2 * math.pi) - math.pi)
-        < 0.1
-    ))
+        < 0.1,
+        axis=1,
+    )))
 
 
 def main(argv=None):
@@ -137,6 +154,10 @@ def main(argv=None):
                     help="state_spacing (reference test uses 5)")
     ap.add_argument("--kkt", default="condensed",
                     choices=("condensed", "schur", "lu"))
+    ap.add_argument("--model", default="single",
+                    choices=("single", "double"),
+                    help="model family (double = 6-state double pole, "
+                    "a capability the reference left WIP)")
     ap.add_argument("--layout", default="lanes", choices=("lanes", "vmap"),
                     help="batching layout (lanes = batch-in-lanes fast "
                     "path; requires condensed)")
@@ -157,17 +178,18 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    from cartpole_tpu import default_single_params
+    from cartpole_tpu import default_double_params, default_single_params
 
     dev = jax.devices()[0]
-    dp = default_single_params(dtype)
+    dp = (default_double_params(dtype) if args.model == "double"
+          else default_single_params(dtype))
 
     if args.sweep:
         return _sweep(args, dp, dtype, dev)
 
     n, ticks = args.batch, args.ticks
     mpc, run = _build_runner(args, n, ticks, args.kkt, dtype, dp)
-    x0s = _make_x0s(n, dtype)
+    x0s = _make_x0s(args, n, dtype)
     sps = jnp.zeros((n,), dtype)
 
     best, res = _time_run(run, x0s, sps, args.reps)
@@ -192,7 +214,7 @@ def main(argv=None):
             st = res_c.final_mpc_state
             total_failed += _health(res_c)
         np.asarray(x[:4])
-        upright = _upright_fraction(x)
+        upright = _upright_fraction(x, mpc.model.angle_indices)
         upright_failed = total_failed
 
     print(json.dumps({
@@ -207,6 +229,7 @@ def main(argv=None):
         "p99_solve_latency_ms": round(tick_latency_ms, 3),
         "kkt_method": args.kkt,
         "layout": args.layout,
+        "model": args.model,
         "dtype": dtype.__name__ if hasattr(dtype, "__name__") else str(dtype),
         "device": str(dev.platform),
         "n_failed": n_failed,
@@ -225,7 +248,7 @@ def _sweep(args, dp, dtype, dev):
     batches = (64, 256, 1024, 4096, 16384)
     for n in batches:
         mpc, run = _build_runner(args, n, args.ticks, args.kkt, dtype, dp)
-        x0s = _make_x0s(n, dtype)
+        x0s = _make_x0s(args, n, dtype)
         sps = jnp.zeros((n,), dtype)
         best, res = _time_run(run, x0s, sps, args.reps)
         rows.append({
