@@ -18,8 +18,9 @@ test:            ## full CPU/f64 suite on the 8-virtual-device mesh (~6 min)
 test-slow:       ## adds the slow-marked extras
 	CARTPOLE_SLOW_TESTS=1 $(PY) -m pytest tests/ -q
 
-lint:            ## ruff (if installed) + the dependency-free lint wall
-	-ruff check .
+lint:            ## ruff (gates when installed) + the dependency-free lint wall
+	@if command -v ruff >/dev/null 2>&1; then ruff check .; \
+	else echo "ruff not installed; skipping (CI runs it)"; fi
 	$(PY) scripts/lint.py
 
 bench:           ## headline benchmark on the attached device (~6 min cold)

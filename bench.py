@@ -9,9 +9,10 @@ plant state, exactly like the reference's browser loop
 
 The timed program uses the batch-in-lanes condensed path (``mpc/lanes.py``,
 ``--layout lanes``); ``--layout vmap`` times the generic vmapped path.
-After the timing runs, the SAME compiled program is re-invoked in chunks
+After the timing runs, the SAME compiled program (warm-start state is an
+explicit argument, so chaining never retraces) is continued in chunks
 carrying ``(plant state, MPCState)`` across calls to demonstrate full
-swing-up at the bench operating point (250 ticks; long single programs
+swing-up at the bench operating point (>= 250 ticks; long single programs
 crash the tunneled runtime, CLAUDE.md) — reported as ``fraction_upright``.
 
 Baseline anchor: the reference publishes no numbers (BASELINE.md); its
@@ -63,7 +64,13 @@ def _make_x0s(args, n, dtype, seed=0):
     return jnp.asarray(x0s, dtype)
 
 
-def _build_runner(args, n, ticks, kkt, dtype, dp):
+def _build_runner(args, ticks, kkt, dtype, dp):
+    """Returns ``(mpc, jitted run(x0s, sps, mpc_state), effective_layout)``.
+
+    The runner takes the warm-start state EXPLICITLY so the cold start, the
+    timing reps, and the chunked swing-up demonstration all share one trace
+    (one tunneled-TPU AOT compile) — chaining chunks never retraces.
+    """
     from cartpole_tpu import DOUBLE_CARTPOLE, OptimizationParams, make_mpc
     from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
     from cartpole_tpu.mpc.closed_loop import run_closed_loop
@@ -85,28 +92,40 @@ def _build_runner(args, n, ticks, kkt, dtype, dp):
     # deployment semantics as the reference, whose UI rebuilds the
     # optimizer whenever dynamics params change
     # (viz/src/application.ts:279-373); our interactive driver does too.
-    if args.layout == "lanes" and kkt == "condensed":
-        def run(x0s, sps, st=None):
+    layout = "lanes" if (args.layout == "lanes" and kkt == "condensed") \
+        else "vmap"
+    if layout == "lanes":
+        def run(x0s, sps, st):
             return run_closed_loop_lanes(
                 mpc, x0s, dp, ticks, sps, mpc_state=st
             )
     else:
-        import jax as _jax
+        if args.layout == "lanes":
+            print(f"note: --layout lanes requires --kkt condensed; "
+                  f"timing the vmapped path for kkt={kkt}", file=sys.stderr)
 
-        def run(x0s, sps, st=None):
-            return _jax.vmap(
+        def run(x0s, sps, st):
+            return jax.vmap(
                 lambda x, s, st_: run_closed_loop(
                     mpc, x, dp, ticks, s, mpc_state=st_
-                ),
-                in_axes=(0, 0, 0 if st is not None else None),
+                )
             )(x0s, sps, st)
-    return mpc, jax.jit(run)
+    return mpc, jax.jit(run), layout
 
 
-def _time_run(run, x0s, sps, reps):
+def _cold_state(mpc, n, dtype):
+    from cartpole_tpu import MPCState
+
+    return MPCState(
+        previous_solution=jnp.zeros((n, mpc.spec.dim), dtype),
+        warm=jnp.zeros((n,), bool),
+    )
+
+
+def _time_run(run, x0s, sps, st0, reps):
     def once():
         t0 = time.perf_counter()
-        res = run(x0s, sps)
+        res = run(x0s, sps, st0)
         # Sync via host transfer of a small array: block_until_ready can
         # return early on tunneled-TPU platforms (CLAUDE.md).
         np.asarray(res.final_state[:4])
@@ -165,8 +184,10 @@ def main(argv=None):
                     help="force the CPU backend (CI smoke; this "
                     "environment ignores JAX_PLATFORMS, CLAUDE.md)")
     ap.add_argument("--no-upright", action="store_true",
-                    help="skip the chunked 250-tick swing-up demonstration")
-    ap.add_argument("--upright-ticks", type=int, default=250)
+                    help="skip the chunked swing-up demonstration")
+    ap.add_argument("--upright-ticks", type=int, default=250,
+                    help="minimum total closed-loop ticks for the "
+                    "demonstration (rounded up to a whole chunk)")
     ap.add_argument("--sweep", action="store_true",
                     help="latency/throughput matrix over batch sizes -> "
                     "bench_sweep.json (single JSON line still printed)")
@@ -188,34 +209,38 @@ def main(argv=None):
         return _sweep(args, dp, dtype, dev)
 
     n, ticks = args.batch, args.ticks
-    mpc, run = _build_runner(args, n, ticks, args.kkt, dtype, dp)
+    mpc, run, layout = _build_runner(args, ticks, args.kkt, dtype, dp)
     x0s = _make_x0s(args, n, dtype)
     sps = jnp.zeros((n,), dtype)
+    st0 = _cold_state(mpc, n, dtype)
 
-    best, res = _time_run(run, x0s, sps, args.reps)
+    best, res = _time_run(run, x0s, sps, st0, args.reps)
     n_failed = _health(res)
 
     solves = n * ticks
     solves_per_s = solves / best
     tick_latency_ms = best / ticks * 1e3  # full-batch closed-loop tick
 
-    # Outcome proof at the perf operating point: chunk the SAME compiled
-    # program to 250 ticks carrying (x, MPCState) across calls.
+    # Outcome proof at the perf operating point: continue the SAME compiled
+    # program from the timed run in chunks carrying (x, MPCState) until at
+    # least --upright-ticks total ticks have been simulated.
     upright = None
     upright_failed = None
+    upright_ticks_run = None
     if not args.no_upright and not args.f64:
-        x, st = x0s, None
-        res_c = None
-        total_failed = 0
-        n_chunks = max(1, args.upright_ticks // ticks)
-        for _ in range(n_chunks):
-            res_c = run(x, sps) if st is None else run(x, sps, st)
+        x, st = res.final_state, res.final_mpc_state
+        ticks_run = ticks
+        total_failed = _health(res)
+        while ticks_run < args.upright_ticks:
+            res_c = run(x, sps, st)
             x = res_c.final_state
             st = res_c.final_mpc_state
+            ticks_run += ticks
             total_failed += _health(res_c)
         np.asarray(x[:4])
         upright = _upright_fraction(x, mpc.model.angle_indices)
         upright_failed = total_failed
+        upright_ticks_run = ticks_run
 
     print(json.dumps({
         "metric": "batched_mpc_solves_per_s_per_chip",
@@ -228,13 +253,13 @@ def main(argv=None):
         # latency IS the (p50 = p99) per-solve latency.
         "p99_solve_latency_ms": round(tick_latency_ms, 3),
         "kkt_method": args.kkt,
-        "layout": args.layout,
+        "layout": layout,
         "model": args.model,
         "dtype": dtype.__name__ if hasattr(dtype, "__name__") else str(dtype),
         "device": str(dev.platform),
         "n_failed": n_failed,
         **({"fraction_upright": round(upright, 4),
-            "upright_ticks": args.upright_ticks,
+            "upright_ticks": upright_ticks_run,
             "upright_n_failed": upright_failed}
            if upright is not None else {}),
     }))
@@ -247,15 +272,16 @@ def _sweep(args, dp, dtype, dev):
     rows = []
     batches = (64, 256, 1024, 4096, 16384)
     for n in batches:
-        mpc, run = _build_runner(args, n, args.ticks, args.kkt, dtype, dp)
+        mpc, run, layout = _build_runner(args, args.ticks, args.kkt, dtype, dp)
         x0s = _make_x0s(args, n, dtype)
         sps = jnp.zeros((n,), dtype)
-        best, res = _time_run(run, x0s, sps, args.reps)
+        st0 = _cold_state(mpc, n, dtype)
+        best, res = _time_run(run, x0s, sps, st0, args.reps)
         rows.append({
             "batch": n,
             "ticks": args.ticks,
             "kkt_method": args.kkt,
-            "layout": args.layout,
+            "layout": layout,
             "solves_per_s": round(n * args.ticks / best, 1),
             "tick_latency_ms": round(best / args.ticks * 1e3, 3),
             "meets_10ms_budget": bool(best / args.ticks < 0.010),

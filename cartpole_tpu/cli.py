@@ -147,11 +147,18 @@ def _cmd_closed_loop(args) -> int:
 def _cmd_interactive(args) -> int:
     import jax.numpy as jnp
 
+    if args.model == "double" and "window_length" not in json.loads(args.params):
+        # The 0.4 s default window leaves the double pole on the edge of
+        # its region of attraction (tests/test_double_mpc.py).
+        args.params = json.dumps(
+            {**json.loads(args.params), "window_length": 60}
+        )
     mpc, dynamics_params, x0, dtype = _setup(args)
     from .interactive import InteractiveLoop
 
     loop = InteractiveLoop(
-        params=mpc.params, dynamics_params=dynamics_params, dtype=dtype
+        params=mpc.params, dynamics_params=dynamics_params, dtype=dtype,
+        model=mpc.model,
     )
     loop.x = jnp.asarray(x0, dtype)
     import sys as _sys

@@ -12,10 +12,12 @@ dynamics-parameter updates (jit arguments — no recompile), optimizer
 rebuild on cost/equality changes (``application.ts:367-373``), and the
 ring-buffer JSON solve log (``application.ts:429-434``).
 
-Run: ``python -m cartpole_tpu interactive`` (add ``--cpu`` off-TPU).
-Keys: b/B poke base left/right, p/P poke pole, c toggle controller,
-1/2 pole mass -/+, 3/4 pole length -/+, t toggle theta cost<->equality,
-r reset plant, q quit.
+Run: ``python -m cartpole_tpu interactive`` (add ``--cpu`` off-TPU;
+``--model double`` drives the 6-state double pole).
+Keys: b/B poke base left/right, p/P poke first link mass, o/O poke second
+link mass (double pole), c toggle controller, 1/2 pole mass -/+,
+3/4 pole length -/+, t toggle theta cost<->equality, r reset plant,
+q quit.
 """
 
 from __future__ import annotations
@@ -43,12 +45,21 @@ __all__ = ["InteractiveLoop", "render_ascii"]
 FRAME_GAP_WATCHDOG = 0.2  # seconds (application.ts:384-391)
 
 
+def _link_lengths(dynamics_params):
+    lengths = [float(dynamics_params.l_1)]
+    if hasattr(dynamics_params, "l_2"):
+        lengths.append(float(dynamics_params.l_2))
+    return lengths
+
+
 def render_ascii(x, dynamics_params, width: int = 64, height: int = 14,
                  force=None, enabled: bool = True) -> str:
-    """Draw the cart, pole, floor, and force arrow as ASCII art (the
-    ``renderer.ts`` vocabulary: cart, pole, floor, force indicator)."""
-    b_x, th = float(x[0]), float(x[1])
-    l_1 = float(dynamics_params.l_1)
+    """Draw the cart, the pole link chain (1 or 2 links), floor, and force
+    arrow as ASCII art (the ``renderer.ts`` vocabulary: cart, pole, floor,
+    force indicator)."""
+    b_x = float(x[0])
+    lengths = _link_lengths(dynamics_params)
+    angles = [float(x[1 + i]) for i in range(len(lengths))]
     span = 2.4  # meters shown across the width
     floor_row = height - 3
 
@@ -66,16 +77,20 @@ def render_ascii(x, dynamics_params, width: int = 64, height: int = 14,
             min(max(r, 0), height - 1), min(max(c, 0), width - 1)
         )
 
-    # pole: sample points from base pivot to tip (clamped into the frame
-    # so a hanging pole still renders below the floor line)
-    tip = (b_x + l_1 * math.cos(th), l_1 * math.sin(th))
-    for i in range(1, 9):
-        px = b_x + (tip[0] - b_x) * i / 8
-        py = tip[1] * i / 8
-        r, c = clamp(*to_cell(px, py))
-        grid[r][c] = "*"
-    r, c = clamp(*to_cell(tip[0], tip[1]))
-    grid[r][c] = "o"
+    # link chain: sample points along each link (clamped into the frame so
+    # a hanging pole still renders below the floor line)
+    joint = (b_x, 0.0)
+    for l_i, th_i in zip(lengths, angles):
+        tip = (joint[0] + l_i * math.cos(th_i),
+               joint[1] + l_i * math.sin(th_i))
+        for i in range(1, 9):
+            px = joint[0] + (tip[0] - joint[0]) * i / 8
+            py = joint[1] + (tip[1] - joint[1]) * i / 8
+            r, c = clamp(*to_cell(px, py))
+            grid[r][c] = "*"
+        r, c = clamp(*to_cell(tip[0], tip[1]))
+        grid[r][c] = "o"
+        joint = tip
     r, c = to_cell(b_x, 0.0)
     for dc in (-2, -1, 0, 1, 2):
         if 0 <= c + dc < width:
@@ -84,8 +99,9 @@ def render_ascii(x, dynamics_params, width: int = 64, height: int = 14,
         ch = ">" if force > 0 else "<"
         cc = min(max(c + (3 if force > 0 else -3), 0), width - 1)
         grid[floor_row - 1][cc] = ch
+    th_txt = " ".join(f"{math.degrees(a):+7.1f}" for a in angles)
     status = (
-        f" b_x={b_x:+.2f}  th={math.degrees(th):+7.1f} deg  "
+        f" b_x={b_x:+.2f}  th={th_txt} deg  "
         f"ctrl={'ON ' if enabled else 'OFF'}"
     )
     return "\n".join("".join(row) for row in grid) + "\n" + status
@@ -105,24 +121,34 @@ class InteractiveLoop:
         render: bool = True,
         sim_rate: float = 1.0,
         dtype=jnp.float32,
+        model=SINGLE_CARTPOLE,
     ):
         self.params = params or OptimizationParams(
             state_spacing=5, max_iterations=8
         )
         self.dtype = dtype
-        self.dp = dynamics_params or jax.tree.map(
-            lambda v: jnp.asarray(v, dtype), SingleCartPoleParams()
+        self.model = model
+        self.dp = dynamics_params if dynamics_params is not None else (
+            jax.tree.map(
+                lambda v: jnp.asarray(v, dtype), model.default_params()
+            )
         )
         self.out = out if out is not None else sys.stdout
         self.render = render
         self.sim_rate = sim_rate
-        self.model = SINGLE_CARTPOLE
-        self.x = jnp.asarray([0.0, -math.pi / 2, 0.0, 0.0], dtype)
-        self.forces = np.zeros((2, 2))  # [base, mass] x (fx, fy)
+        self.x = self._hang_state()
+        # [base, link-1 mass, (link-2 mass)] x (fx, fy).
+        self.forces = np.zeros((1 + len(model.angle_indices), 2))
         self.enabled = True
         self.log = SolveLog()
         self.tick_count = 0
         self._build()
+
+    def _hang_state(self):
+        down = [0.0] * self.model.state_dim
+        for a in self.model.angle_indices:
+            down[a] = -math.pi / 2
+        return jnp.asarray(down, self.dtype)
 
     # ------------------------------------------------------------ optimizer
     def _build(self):
@@ -147,6 +173,8 @@ class InteractiveLoop:
 
     # -------------------------------------------------------------- controls
     def poke(self, mass_index: int, incident_angle: float):
+        if not 0 <= mass_index < len(self.forces):
+            return
         self.forces[mass_index] = poke_force(
             mass_index, incident_angle, self.dp
         )
@@ -159,7 +187,7 @@ class InteractiveLoop:
             self.mpc_state = self.mpc.reset(self.mpc_state)
 
     def reset_plant(self):
-        self.x = jnp.asarray([0.0, -math.pi / 2, 0.0, 0.0], self.dtype)
+        self.x = self._hang_state()
         self.mpc_state = self.mpc.reset(self.mpc_state)
 
     def handle_command(self, cmd: str):
@@ -174,6 +202,10 @@ class InteractiveLoop:
             self.poke(1, 0.0)
         elif cmd == "P":
             self.poke(1, math.pi)
+        elif cmd == "o":
+            self.poke(2, 0.0)  # second link mass (double pole only)
+        elif cmd == "O":
+            self.poke(2, math.pi)
         elif cmd == "c":
             self.toggle_controller()
         elif cmd == "1":
@@ -210,6 +242,8 @@ class InteractiveLoop:
             f_base=jnp.asarray(self.forces[0], self.dtype),
             f_mass=jnp.asarray(self.forces[1], self.dtype),
             model=self.model,
+            f_mass_2=(jnp.asarray(self.forces[2], self.dtype)
+                      if len(self.forces) > 2 else None),
         )
         self.forces = decay_external_forces(self.forces, dt)
         self.tick_count += 1
@@ -220,7 +254,7 @@ class InteractiveLoop:
             return
         frame = render_ascii(
             np.asarray(self.x), self.dp,
-            force=float(self.forces[0, 0] + self.forces[1, 0]),
+            force=float(self.forces[:, 0].sum()),
             enabled=self.enabled,
         )
         self.out.write("\x1b[2J\x1b[H" + frame + "\n")

@@ -43,9 +43,12 @@ def poke_force(mass_index: int, incident_angle: float, dynamics_params):
     """Force vector of one click: 10x the clicked mass, direction from the
     incident angle (``application.ts:474-489``).
 
-    ``mass_index``: 0 = base/cart, 1 = pole mass. Returns ``(fx, fy)``.
+    ``mass_index``: 0 = base/cart, 1 = first link mass, 2 = second link
+    mass (double pole). Returns ``(fx, fy)``.
     """
-    masses = (dynamics_params.m_b, dynamics_params.m_1)
+    masses = [dynamics_params.m_b, dynamics_params.m_1]
+    if hasattr(dynamics_params, "m_2"):
+        masses.append(dynamics_params.m_2)
     mag = POKE_FORCE_SCALE * float(masses[mass_index])
     return (
         -math.cos(incident_angle) * mag,

@@ -33,15 +33,22 @@ def simulator_step(
     f_mass=None,
     model: CartPoleModel = SINGLE_CARTPOLE,
     internal_dt: float = DEFAULT_INTERNAL_DT,
+    f_mass_2=None,
 ):
     """Advance the plant state by ``dt`` (static) under constant control ``u``.
 
     Pure function of ``(params, x, u, forces)`` — vmap/jit/shard freely.
+    ``f_mass_2`` (second-link external force) is only meaningful for the
+    double-pole model and must be left ``None`` for models without it.
     """
     if dt < 0:
         raise ValueError("dt must be >= 0")
 
     def f(x_, u_):
+        if f_mass_2 is not None:
+            return model.dynamics(
+                dynamics_params, x_, u_, f_base, f_mass, f_mass_2
+            )
         return model.dynamics(dynamics_params, x_, u_, f_base, f_mass)
 
     return substep_rollout(

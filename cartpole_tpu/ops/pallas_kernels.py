@@ -11,13 +11,20 @@ Gridless by necessity: this runtime's Pallas pipeline compiles whole-array
 kernels quickly but hangs on ``grid=`` kernels, so the caller chunks the
 flattened axis and emits one ``pallas_call`` per chunk.
 
-STATUS: interpret-validated (tests/test_pallas_kernel.py) but NOT wired
-into the MPC hot path — the current single-chip tunnel's Mosaic compile
-hangs indefinitely on kernels of this size (CLAUDE.md). The intended
-integration on a runtime that can compile it: wrap with
-``jax.custom_batching.custom_vmap`` in ``mpc/problem.py`` so per-instance
-tracing keeps the chain-rule path and the vmapped rule reshapes to
-batch-last and calls this kernel.
+STATUS: interpret-validated (tests/test_pallas_kernel.py) and
+compile-validated on v5e (3e-8 max err vs the chain-rule reference), but
+NOT wired into the MPC hot path — measured head-to-head at the hot-path
+shape (R=32768 flattened batch x segment, T=5, f32, scan of 50 in one
+jit) the kernel runs 0.871 ms/iter vs 0.949 ms/iter for the pure-XLA
+structure-of-arrays path (``ops/lanes.segment_rollout_with_jac_scan``)
+that now feeds the condensed solver: only ~8% — XLA's fusion of the SoA
+rows layout already sits at the kernel's memory-bound floor, so the extra
+compile-reliability risk (CLAUDE.md: tunnel Mosaic compiles are
+nondeterministically slow/hung in some processes) buys almost nothing.
+Kept as the integration blueprint for runtimes where Pallas wins: wrap
+with ``jax.custom_batching.custom_vmap`` in ``mpc/problem.py`` so
+per-instance tracing keeps the chain-rule path and the vmapped rule
+reshapes to batch-last and calls this kernel.
 """
 
 from __future__ import annotations

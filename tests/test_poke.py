@@ -163,3 +163,31 @@ class TestInteractiveLoop:
         loop = self._loop(render=True, out=buf)
         loop.run(max_ticks=1, realtime=False)
         assert "ctrl=" in buf.getvalue()
+
+    def test_double_model(self):
+        """The loop is generic over the model family: 6-state double pole,
+        second-link pokes, two-link renderer."""
+        from cartpole_tpu import DOUBLE_CARTPOLE, default_double_params
+
+        loop = self._loop(
+            params=OptimizationParams(
+                max_iterations=4, state_spacing=5, window_length=60
+            ),
+            model=DOUBLE_CARTPOLE,
+        )
+        assert loop.forces.shape == (3, 2)
+        # start perturbed-upright; poke the second link mass at tick 5
+        loop.x = jnp.asarray(
+            [0.0, np.pi / 2 + 0.05, np.pi / 2, 0.0, 0.0, 0.0], jnp.float64
+        )
+        cmds = [None] * 5 + ["o"] + [None] * 9
+        loop.run(max_ticks=15, realtime=False, commands=cmds)
+        assert loop.tick_count == 15
+        assert np.isfinite(np.asarray(loop.x)).all()
+        # the second-link poke scales with m_2 and decays
+        f0 = abs(poke_force(2, 0.0, default_double_params(jnp.float64))[0])
+        assert 0 < abs(loop.forces[2, 0]) < f0
+        frame = render_ascii(np.asarray(loop.x), loop.dp)
+        assert frame.count("o") >= 2  # two link masses drawn
+        loop.reset_plant()
+        assert loop.x.shape == (6,)
