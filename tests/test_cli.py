@@ -53,3 +53,37 @@ class TestCli:
         res = _run("solve", "--cpu", "--params", '{"windowlength": 60}')
         assert res.returncode != 0
         assert "unknown OptimizationParams field" in (res.stderr + res.stdout)
+
+
+class TestBenchScript:
+    """The driver-facing benchmark contract (one JSON line)."""
+
+    def _bench(self, *args):
+        env = dict(os.environ)
+        env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+        return subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--cpu",
+             "--reps", "1", *args],
+            capture_output=True, text=True, timeout=500, env=env, cwd=REPO,
+        )
+
+    def test_json_contract_and_upright_rounding(self):
+        res = self._bench("--batch", "8", "--ticks", "7",
+                          "--upright-ticks", "10")
+        assert res.returncode == 0, res.stderr[-2000:]
+        out = json.loads(res.stdout)
+        assert out["metric"] == "batched_mpc_solves_per_s_per_chip"
+        assert out["unit"] == "solves/s"
+        assert out["layout"] == "lanes" and out["kkt_method"] == "condensed"
+        # chunked continuation rounds UP to whole compiled programs
+        assert out["upright_ticks"] == 14
+        assert out["n_failed"] == 0
+
+    def test_layout_label_reports_timed_path(self):
+        """--kkt lu cannot use lanes; the JSON must say what actually ran."""
+        res = self._bench("--batch", "4", "--ticks", "2", "--kkt", "lu",
+                          "--no-upright")
+        assert res.returncode == 0, res.stderr[-2000:]
+        out = json.loads(res.stdout)
+        assert out["kkt_method"] == "lu"
+        assert out["layout"] == "vmap"
