@@ -43,7 +43,7 @@ from ..ops.lanes import (
 from ..ops.solver import NLSConfig, NLSOutputs, NLSTerminationState
 from .closed_loop import ClosedLoopResult
 from .controller import MPC, MPCOutputs, MPCState
-from .problem import _tiny_spd_solve
+from .problem import _qr_gram_factor
 
 
 __all__ = ["step_lanes", "run_closed_loop_lanes", "simulator_step_lanes"]
@@ -109,21 +109,31 @@ class _LanesProblem:
         self._Hu = self._Ju_cost.T @ self._Ju_cost  # (K, K)
         self.n_tc = len(spec.terminal_costs)
         self.n_t = len(spec.terminal_eqs)
-        # Spectral KKT precomputation: the reduced GN Hessian is
-        #   H = Hu + lam*I + sum_i t_i t_i^T,   t_i = w_i * M_N[coord_i],
-        # i.e. a rank-n_tc update of the STATIC u-cost Gram matrix. With
-        # Hu = Q diag(e) Q^T computed once in f64 at trace time,
-        # (Hu + lam I)^{-1} is a per-instance diagonal rescale between two
-        # static (K, K) matmuls (pure MXU work), and the terminal-cost
-        # rank update folds in by Woodbury with an n_tc x n_tc tiny solve.
-        # This removes the batched Cholesky — measured at ~90% of the
-        # condensed step on v5e — from the hot path entirely.
+        # Spectral KKT precomputation: the factorized core of the reduced
+        # system is C = Hu + lam*I — ONLY the static u-cost Gram matrix.
+        # With Hu = Q diag(e) Q^T computed once in f64 at trace time,
+        # C^{-1} is a per-instance diagonal rescale between two static
+        # (K, K) matmuls (pure MXU work). Every terminal row — soft cost
+        # or hard equality — is eliminated through one tiny augmented
+        # Schur complement (see condensed_step): cost weights enter only
+        # as its 1/w^2 diagonal, never squared into a factorized matrix
+        # (that would cost cond ~ w^2 ||M||^2 and produced garbage f32
+        # steps in the soft-terminal-cost mode). This removes the batched
+        # Cholesky — measured at ~90% of the condensed step on v5e — from
+        # the hot path entirely.
         # (If every u-cost weight is zero Hu is singular: at lam = 0 the
         # rescale produces infs, the step is rejected as not-ok, and LM
         # raises lam — the same recovery the factorization paths have.)
         e, Q = np.linalg.eigh(self._Hu.astype(np.float64))
         self._Hu_eigs = np.maximum(e, 0.0)
         self._Hu_Q = Q
+        # Augmented-KKT statics: cost-row weights and the Schur diagonal.
+        self._w_costs = np.asarray(
+            [ts.weight for ts in spec.terminal_costs], np.float64
+        )
+        self._D_diag = np.concatenate(
+            [1.0 / self._w_costs**2, np.full(self.n_t, 1.0e-12)]
+        )
 
     def tiled(self, A: int) -> "_LanesProblem":
         """A copy whose instance axis is ``A`` stacked copies of this
@@ -322,32 +332,42 @@ class _LanesProblem:
         if n_tc:
             term_J = jnp.stack(
                 [ts.weight * M[ts.coord] for ts in term_costs]
-            )  # (n_tc, K, B)
+            )  # (n_tc, K, B) — weighted rows, used for jr_dz below.
             term_aff = jnp.stack(
                 [ts.weight * m[ts.coord] for ts in term_costs]
             )  # (n_tc, B)
             r_bar_term = r_term + term_aff
-            g_t = jnp.sum(term_J * r_bar_term[:, None, :], axis=0)  # (K, B)
+            # Unweighted rows/residuals for the augmented system.
+            U_costs = jnp.stack([M[ts.coord] for ts in term_costs])
+            b_costs = r_bar_term * jnp.asarray(
+                1.0 / self._w_costs, dtype
+            )[:, None]
         else:
             term_J = jnp.zeros((0, K, B), dtype)
             term_aff = jnp.zeros((0, B), dtype)
             r_bar_term = r_term
-            g_t = jnp.zeros((K, B), dtype)
+            U_costs = jnp.zeros((0, K, B), dtype)
+            b_costs = jnp.zeros((0, B), dtype)
 
-        g = g_t + jnp.asarray(self._Ju_cost.T, dtype) @ r_u
+        g_s = jnp.asarray(self._Ju_cost.T, dtype) @ r_u  # (K, B)
 
         c_term = self._terminal_eq_residuals(Z)
         if n_t:
-            A_bar = jnp.stack([M[ts.coord] for ts in term_eqs])  # (n_t,K,B)
+            A_eq = jnp.stack([M[ts.coord] for ts in term_eqs])  # (n_t,K,B)
             c_bar = c_term + jnp.stack([m[ts.coord] for ts in term_eqs])
         else:
-            A_bar = jnp.zeros((0, K, B), dtype)
+            A_eq = jnp.zeros((0, K, B), dtype)
             c_bar = jnp.zeros((0, B), dtype)
 
-        # Spectral KKT solve (see __init__): H = Hu + lam I + term_J^T
-        # term_J is inverted as a Woodbury rank-n_tc update of the
-        # statically eigendecomposed Hu — no factorization on the device,
-        # only static (K, K) matmuls and lane-wise elementwise work.
+        # Augmented KKT solve (see __init__): factorized core
+        # C = Hu + lam I in the static eigenbasis; ALL terminal rows
+        # (soft costs then hard equalities) eliminated via one tiny Schur
+        # complement  S = A C^{-1} A^T + diag(1/w^2 | ~0)  — no
+        # factorization on the device, only static (K, K) matmuls and
+        # lane-wise elementwise work, and no w^2 conditioning anywhere.
+        n_all = n_tc + n_t
+        A_all = jnp.concatenate([U_costs, A_eq], axis=0)  # (n_all, K, B)
+        b_all = jnp.concatenate([b_costs, c_bar], axis=0)  # (n_all, B)
         Q = jnp.asarray(self._Hu_Q, dtype)
         eigs = jnp.asarray(self._Hu_eigs, dtype)
         d_inv = 1.0 / (eigs[:, None] + lam[None, :])  # (K, B)
@@ -360,63 +380,61 @@ class _LanesProblem:
             Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
             return jnp.transpose(Zr, (1, 0, 2))
 
-        if n_tc:
-            CiU = c_solve(term_J)  # (n_tc, K, B)
-            M_w = jnp.asarray(np.eye(n_tc), dtype)[:, :, None] + jnp.sum(
-                term_J[:, None, :, :] * CiU[None, :, :, :], axis=2
-            )  # (n_tc, n_tc, B)
+        def c_mul(x):
+            """(Hu + lam I) x for x (K, B) — used by the refinement."""
+            return Q @ ((Q.T @ x) * (eigs[:, None] + lam[None, :]))
 
-        def h_solve(X):
-            """H^{-1} X for stacked rows (R, K, B), via Woodbury."""
-            CiX = c_solve(X)
-            if not n_tc:
-                return CiX
-            UtCiX = jnp.sum(
-                term_J[:, None, :, :] * CiX[None, :, :, :], axis=2
-            )  # (n_tc, R, B)
-            W = jnp.stack(
-                [
-                    _tiny_spd_solve(M_w, UtCiX[:, j, :])
-                    for j in range(X.shape[0])
-                ],
-                axis=1,
-            )  # (n_tc, R, B)
-            corr = jnp.sum(
-                W[:, :, None, :] * CiU[:, None, :, :], axis=0
-            )  # (R, K, B)
-            return CiX - corr
+        sol = c_solve(jnp.concatenate([A_all, g_s[None]], axis=0))
+        CiA, Cig = sol[:n_all], sol[n_all]
+        if n_all:
+            D_vec = jnp.asarray(self._D_diag, dtype)
+            # Schur solve via the STACKED factor T = [C^{-1/2} A^T;
+            # D^{1/2}] — T^T T = A C^{-1} A^T + D, but the Gram matrix is
+            # never formed (see problem._qr_gram_factor: forming it
+            # squares cond(T) into the f32 entries; measured O(1)-wrong
+            # double-pole steps). C^{-1/2} rides the same static
+            # eigenbasis as c_solve.
+            dh_inv = jnp.sqrt(d_inv)
 
-        def h_mul(x):
-            """H x for x (K, B) — used by the refinement step."""
-            out = jnp.asarray(self._Hu, dtype) @ x + lam[None, :] * x
-            if n_tc:
-                Ux = jnp.sum(term_J * x[None], axis=1)  # (n_tc, B)
-                out = out + jnp.sum(term_J * Ux[:, None, :], axis=0)
-            return out
+            def chalf_solve(X):
+                """C^{-1/2} X for stacked rows X (R, K, B)."""
+                R_ = X.shape[0]
+                X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R_ * B)
+                Y = (Q.T @ X2).reshape(K, R_, B) * dh_inv[:, None, :]
+                Zr = (Q @ Y.reshape(K, R_ * B)).reshape(K, R_, B)
+                return jnp.transpose(Zr, (1, 0, 2))
 
-        sol = h_solve(jnp.concatenate([A_bar, g[None]], axis=0))
-        HiAt, Hig = sol[:n_t], sol[n_t]
-        if n_t:
-            S_bar = jnp.sum(
-                A_bar[:, None, :, :] * HiAt[None, :, :, :], axis=2
-            ) + 1e-12 * jnp.asarray(np.eye(n_t), dtype)[:, :, None]
-            A_Hig = jnp.sum(A_bar * Hig[None], axis=1)
-            nu = _tiny_spd_solve(S_bar, c_bar - A_Hig)  # (n_t, B)
-            du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
-            # One refinement step (f32 digit recovery; reuses the
-            # spectral basis and Woodbury pieces).
-            At_nu = jnp.sum(A_bar * nu[:, None, :], axis=0)
-            res_d = -g - (h_mul(du) + At_nu)
-            res_c = -c_bar - jnp.sum(A_bar * du[None], axis=1)
-            Hi_rd = h_solve(res_d[None])[0]
-            e_y = _tiny_spd_solve(
-                S_bar, jnp.sum(A_bar * Hi_rd[None], axis=1) - res_c
+            G = chalf_solve(A_all)  # (n_all, K, B)
+            T = jnp.concatenate([
+                jnp.transpose(G, (1, 0, 2)),  # (K, n_all, B)
+                jnp.broadcast_to(
+                    jnp.asarray(np.diag(np.sqrt(self._D_diag)), dtype)[
+                        :, :, None
+                    ],
+                    (n_all, n_all, B),
+                ),
+            ], axis=0)
+            schur_solve = _qr_gram_factor(T)
+            A_Cig = jnp.sum(A_all * Cig[None], axis=1)
+            mu = schur_solve(b_all - A_Cig)  # (n_all, B)
+            du = -(Cig + jnp.sum(CiA * mu[:, None, :], axis=0))
+            # One refinement step on the augmented system (f32 digit
+            # recovery; reuses the spectral basis and the QR factor).
+            At_mu = jnp.sum(A_all * mu[:, None, :], axis=0)
+            res_d = -g_s - (c_mul(du) + At_mu)
+            res_c = -b_all - (
+                jnp.sum(A_all * du[None], axis=1) - D_vec[:, None] * mu
             )
-            du = du + Hi_rd - jnp.sum(HiAt * e_y[:, None, :], axis=0)
-            nu = nu + e_y
+            Ci_rd = c_solve(res_d[None])[0]
+            e_y = schur_solve(
+                jnp.sum(A_all * Ci_rd[None], axis=1) - res_c
+            )
+            du = du + Ci_rd - jnp.sum(CiA * e_y[:, None, :], axis=0)
+            mu = mu + e_y
         else:
-            nu = jnp.zeros((0, B), dtype)
-            du = -Hig
+            mu = jnp.zeros((0, B), dtype)
+            du = -Cig
+        mu_c, nu = mu[:n_tc], mu[n_tc:]
 
         # Expand the state step by the forward recursion.
         dx = -pin
@@ -439,10 +457,11 @@ class _LanesProblem:
         )
 
         # Eliminated multipliers (post-step estimate) for the merit ramp.
-        r_lin_term = r_bar_term + Jdu_term
+        # The terminal-cost rows' post-step gradient w^2 (U du + b) IS the
+        # augmented multiplier mu_c.
         gN = jnp.zeros((sd, B), dtype)
         for i, ts in enumerate(term_costs):
-            gN = gN.at[ts.coord].add(ts.weight * r_lin_term[i])
+            gN = gN.at[ts.coord].add(mu_c[i])
         for j, ts in enumerate(term_eqs):
             gN = gN.at[ts.coord].add(nu[j])
         pi = gN
@@ -478,8 +497,8 @@ class _LanesProblem:
             jnp.all(jnp.isfinite(dZ.xs), axis=(0, 1))
             & jnp.all(jnp.isfinite(du), axis=0)
             & (
-                jnp.all(jnp.isfinite(nu), axis=0)
-                if n_t else jnp.ones((B,), bool)
+                jnp.all(jnp.isfinite(mu), axis=0)
+                if n_all else jnp.ones((B,), bool)
             )
         )
 

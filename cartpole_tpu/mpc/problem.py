@@ -52,26 +52,30 @@ def _tiny_spd_solve(S, b):
     long Jacobian-chain products spanning ~1e30 — an *absolute* jitter is
     relatively meaningless at that scale, and in f32 (eps 6e-8)
     cancellation can push a Cholesky pivot negative -> sqrt -> NaN -> the
-    whole solve poisoned (the round-1 ``n_failed`` bench defect). Two
-    guards make the factorization total: a scale-RELATIVE ridge on the
-    diagonal (LM-spirit damping that bounds the condition number the
-    factorization sees), and a pivot floor at the ridge level so sqrt
-    never sees a negative. Both are ~eps-sized perturbations in the
-    well-conditioned regime; in the pathological regime they turn NaN
-    into a finite (heavily damped) step that the merit line search is
-    free to reject."""
+    whole solve poisoned (the round-1 ``n_failed`` bench defect). Three
+    guards make the factorization total and scale-honest: Jacobi
+    equilibration to unit diagonal (rows of very different physical scale
+    — e.g. soft terminal-cost rows next to hard equality rows in the
+    augmented Schur complement — would otherwise see a trace-relative
+    ridge that swamps the small rows), a scale-RELATIVE ridge on the
+    equilibrated diagonal (LM-spirit damping that bounds the condition
+    number the factorization sees), and a pivot floor at the ridge level
+    so sqrt never sees a negative. All are ~eps-sized perturbations in
+    the well-conditioned regime; in the pathological regime they turn
+    NaN into a finite (heavily damped) step that the merit line search
+    is free to reject."""
     n = S.shape[0]
     eps_rel = 1.0e-5 if S.dtype == jnp.float32 else 1.0e-13
-    diag_scale = S[0, 0]
-    for i in range(1, n):
-        diag_scale = diag_scale + S[i, i]
-    ridge = eps_rel * jnp.abs(diag_scale) / n + jnp.asarray(
-        1.0e-30, S.dtype
-    )
+    tiny = jnp.asarray(1.0e-30, S.dtype)
+    # Jacobi equilibration: solve (D S D) y = D b, x = D y with
+    # D = diag(S)^{-1/2}; the equilibrated matrix has unit diagonal, so
+    # the relative ridge below is proportionate PER ROW.
+    s = [1.0 / jnp.sqrt(jnp.maximum(S[i, i], tiny)) for i in range(n)]
+    ridge = jnp.asarray(eps_rel, S.dtype)
     L = [[None] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1):
-            acc = S[i, j]
+            acc = S[i, j] * (s[i] * s[j])
             for k in range(j):
                 acc = acc - L[i][k] * L[j][k]
             if i == j:
@@ -80,7 +84,7 @@ def _tiny_spd_solve(S, b):
                 L[i][j] = acc / L[j][j]
     y = [None] * n
     for i in range(n):
-        acc = b[i]
+        acc = b[i] * s[i]
         for k in range(i):
             acc = acc - L[i][k] * y[k]
         y[i] = acc / L[i][i]
@@ -90,7 +94,69 @@ def _tiny_spd_solve(S, b):
         for k in range(i + 1, n):
             acc = acc - L[k][i] * x[k]
         x[i] = acc / L[i][i]
-    return jnp.stack(x)
+    return jnp.stack([x[i] * s[i] for i in range(n)])
+
+
+def _qr_gram_factor(T):
+    """Factor a tall-skinny static-width ``T`` — ``(m, n)`` or
+    ``(m, n, B)`` (lanes layout, trailing batch) — and return
+    ``solve(b)`` computing ``(T^T T)^{-1} b`` via the R factor of a
+    2-pass MGS QR plus unrolled triangular substitutions.
+
+    The point is NEVER forming the Gram matrix: a Cholesky of
+    ``A C^{-1} A^T + D`` sees cond(Gram) = cond(T)^2 — measured ~1e7+
+    (equilibrated) for the double pole's terminal rows across a
+    60-sample window, i.e. O(1)-wrong f32 steps no matter how the solve
+    is refined, because the f32 Gram ENTRIES already carry the damage.
+    QR touches only ``T`` itself (cond ~ sqrt of that), and two MGS
+    passes ("twice is enough") restore orthogonality to ~eps in f32, so
+    the attainable step error drops from cond*eps ~ O(1) to
+    sqrt(cond)*eps ~ 1e-4. Cost: ~n^2 fused dot-products over the lane
+    axis, n <= 7 static.
+
+    Columns of ``T`` are guaranteed independent by construction here
+    (every terminal row contributes a ``sqrt(D_i) e_i`` tail row), but a
+    relative floor on the pivot guards rank collapse anyway."""
+    m, n = T.shape[0], T.shape[1]
+    del m
+    eps_rel = 1.0e-6 if T.dtype == jnp.float32 else 1.0e-14
+    cols = [T[:, i] for i in range(n)]
+    R = [[None] * n for _ in range(n)]
+    qs = []
+    for j in range(n):
+        v = cols[j]
+        orig_norm = jnp.sqrt(jnp.sum(v * v, axis=0))
+        rj = [jnp.zeros_like(orig_norm) for _ in range(j)]
+        for _pass in range(2):
+            for i in range(j):
+                h = jnp.sum(qs[i] * v, axis=0)
+                v = v - h * qs[i]
+                rj[i] = rj[i] + h
+        nrm = jnp.sqrt(jnp.sum(v * v, axis=0))
+        nrm = jnp.maximum(nrm, eps_rel * orig_norm + jnp.asarray(
+            1.0e-30, T.dtype
+        ))
+        for i in range(j):
+            R[i][j] = rj[i]
+        R[j][j] = nrm
+        qs.append(v / nrm)
+
+    def solve(b):
+        y = [None] * n
+        for i in range(n):
+            acc = b[i]
+            for k in range(i):
+                acc = acc - R[k][i] * y[k]
+            y[i] = acc / R[i][i]
+        x = [None] * n
+        for i in reversed(range(n)):
+            acc = y[i]
+            for k in range(i + 1, n):
+                acc = acc - R[i][k] * x[k]
+            x[i] = acc / R[i][i]
+        return jnp.stack(x)
+
+    return solve
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,8 +204,11 @@ class MPCProblemSpec:
         for a in model.angle_indices:
             coord_specs.append((a + n_q, 0.0, params.th_dot_final_cost_weight, False, False))
 
+        # Zero-weight rows are dropped: a weight-0 quadratic cost is
+        # identically zero in the reference too (optimization.cc:236-267),
+        # and dropping it keeps the augmented KKT's 1/w^2 diagonal finite.
         self.terminal_costs: Tuple[TerminalSpec, ...] = tuple(
-            TerminalSpec(c, t, w, ang, sp) for (c, t, w, ang, sp) in coord_specs if w >= 0.0
+            TerminalSpec(c, t, w, ang, sp) for (c, t, w, ang, sp) in coord_specs if w > 0.0
         )
         # Negative weight => equality constraint with unit weight
         # (optimization.cc:236-267).
@@ -408,14 +477,20 @@ class MPCProblemSpec:
         Eliminates the block-bidiagonal defect + pin equality rows exactly:
         states are affine in the controls through the linearized shooting
         recursion, so the full (N*sd+K + n_eq)-dim KKT system collapses to a
-        K-var problem with only the terminal equalities left as constraints.
-        The reduced Gauss-Newton Hessian contains the u-magnitude cost rows,
-        hence is unconditionally SPD (>= u_cost_weight^2 * I) — a clean
-        Cholesky even in f32 — and the factorization is K x K (=40 at
-        defaults) instead of 115 x 115. Same linear system solution as the
-        dense path, i.e. identical GN iterates up to rounding; only the LM
-        damping metric differs (du-space instead of full-z — identical while
-        lambda = 0, which is every accepted nominal iteration).
+        K-var problem with only the terminal rows left to eliminate. The
+        factorized matrix C = Hu + lam I contains only the STATIC u-cost
+        rows, hence is unconditionally SPD (>= u_cost_weight^2 * I) — a
+        clean K x K (=40 at defaults) Cholesky even in f32 instead of
+        115 x 115. Terminal rows (soft costs and hard equalities alike) are
+        eliminated through one tiny augmented Schur complement whose
+        diagonal carries 1/w^2 for cost rows — the weights are never
+        squared into any factorized matrix, which is what keeps the
+        soft-terminal-cost mode usable in f32 (folding w=150 rows into the
+        normal equations gives cond ~ 1e7 and garbage f32 steps). Same
+        linear system solution as the dense path, i.e. identical GN
+        iterates up to rounding; only the LM damping metric differs
+        (du-space instead of full-z — identical while lambda = 0, which is
+        every accepted nominal iteration).
 
         This is the TPU answer to the reference's sparse mini_opt KKT
         (SURVEY.md §7 hard part 5): exploit structure to shrink the dense
@@ -429,6 +504,19 @@ class MPCProblemSpec:
         term_costs = self.terminal_costs
         term_eqs = self.terminal_eqs
         n_t = len(term_eqs)
+        n_tc = len(term_costs)
+        n_all = n_tc + n_t
+        # Augmented-KKT statics: terminal-cost weights never enter the
+        # reduced Hessian (see the solve below) — they appear only as the
+        # 1/w^2 diagonal of the tiny Schur complement, next to the ~0
+        # diagonal of the hard equality rows.
+        _w_costs = np.asarray([ts.weight for ts in term_costs], np.float64)
+        _D_diag = np.concatenate(
+            [1.0 / _w_costs**2, np.full(n_t, 1.0e-12)]
+        )
+        _Hu_static = np.asarray(self._J_cost_u).T @ np.asarray(
+            self._J_cost_u
+        )
 
         def condensed_step(z, lam):
             dtype = z.dtype
@@ -470,7 +558,15 @@ class MPCProblemSpec:
             aff = jnp.concatenate(
                 [term_aff, jnp.zeros((self._J_cost_u.shape[0],), dtype)]
             )
-            r_bar = r + aff
+            # Unweighted linearized terminal-cost residuals (the augmented
+            # form's b rows): b_i = diff_i + m_N[coord_i].
+            U_costs = jnp.stack(
+                [M_N[ts.coord] for ts in term_costs]
+            ) if term_costs else jnp.zeros((0, K), dtype)
+            b_costs = (
+                r[:n_tc] / jnp.asarray(_w_costs, dtype)
+                + jnp.stack([m_N[ts.coord] for ts in term_costs])
+            ) if term_costs else jnp.zeros((0,), dtype)
 
             # Remaining constraints: terminal equalities through M.
             xN = xs[-1]
@@ -500,29 +596,54 @@ class MPCProblemSpec:
             # solver needs no separate evaluate() per iteration.
             c_full = jnp.concatenate([defect.reshape(-1), pin, c_term])
 
-            # Reduced damped-GN KKT via Cholesky + tiny Schur complement.
-            H_bar = J_bar.T @ J_bar + lam * jnp.eye(K, dtype=dtype)
-            g_bar = J_bar.T @ r_bar
-            L = jnp.linalg.cholesky(H_bar)
-            rhs = jnp.concatenate([A_bar.T, g_bar[:, None]], axis=1)
+            # Reduced damped-GN step via the AUGMENTED system. Folding the
+            # terminal-cost rows into the normal equations would square
+            # their weights into the matrix (cond ~ w^2 ||M||^2 /
+            # u_cost_weight^2 ~ 1e7 at w=150 — fatal in f32: the soft-cost
+            # mode produced garbage steps on the deployment dtype).
+            # Instead every terminal row — soft cost or hard equality —
+            # is eliminated through one tiny Schur complement of
+            #   [C      A_all^T] [du ]   [-g_s ]        C = Hu + lam I
+            #   [A_all  -D     ] [mu ] = [-b   ],       D = diag(1/w^2 | 0)
+            # which reproduces (C + U^T W U) du = -(g_s + U^T W b) exactly
+            # while the weights only ever appear as the benign 1/w^2
+            # diagonal: conditioning stays at cond(C) * cond(S).
+            C = jnp.asarray(_Hu_static, dtype) + lam * jnp.eye(K, dtype=dtype)
+            g_s = jnp.asarray(self._J_cost_u, dtype).T @ r[n_tc:]
+            A_all = jnp.concatenate([U_costs, A_bar], axis=0)
+            b_all = jnp.concatenate([b_costs, c_bar])
+            D_diag = jnp.asarray(_D_diag, dtype)
+            L = jnp.linalg.cholesky(C)
+            rhs = jnp.concatenate([A_all.T, g_s[:, None]], axis=1)
             sol = jax.scipy.linalg.cho_solve((L, True), rhs)
-            HiAt, Hig = sol[:, :n_t], sol[:, n_t]
-            if n_t:
-                S_bar = A_bar @ HiAt + 1e-12 * jnp.eye(n_t, dtype=dtype)
-                nu_bar = _tiny_spd_solve(S_bar, c_bar - A_bar @ Hig)
-                du = -(Hig + HiAt @ nu_bar)
+            CiAt, Cig = sol[:, :n_all], sol[:, n_all]
+            if n_all:
+                # Schur solve via the STACKED factor T = [L^{-1} A^T;
+                # D^{1/2}]: T^T T = A C^{-1} A^T + D, but the Gram matrix
+                # is never formed (see _qr_gram_factor — forming it
+                # squares cond(T) into the f32 entries).
+                G = jax.scipy.linalg.solve_triangular(
+                    L, A_all.T, lower=True
+                )
+                T = jnp.concatenate(
+                    [G, jnp.diag(jnp.sqrt(D_diag))], axis=0
+                )
+                schur_solve = _qr_gram_factor(T)
+                mu = schur_solve(b_all - A_all @ Cig)
+                du = -(Cig + CiAt @ mu)
                 # One factor-reusing refinement step (recovers f32 digits).
-                res_d = -g_bar - (H_bar @ du + A_bar.T @ nu_bar)
-                res_c = -c_bar - A_bar @ du
-                Hi_rd = jax.scipy.linalg.cho_solve((L, True), res_d[:, None])[
+                res_d = -g_s - (C @ du + A_all.T @ mu)
+                res_c = -b_all - (A_all @ du - D_diag * mu)
+                Ci_rd = jax.scipy.linalg.cho_solve((L, True), res_d[:, None])[
                     :, 0
                 ]
-                e_y = _tiny_spd_solve(S_bar, A_bar @ Hi_rd - res_c)
-                du = du + Hi_rd - HiAt @ e_y
-                nu_bar = nu_bar + e_y
+                e_y = schur_solve(A_all @ Ci_rd - res_c)
+                du = du + Ci_rd - CiAt @ e_y
+                mu = mu + e_y
             else:
-                nu_bar = jnp.zeros((0,), dtype)
-                du = -Hig
+                mu = jnp.zeros((0,), dtype)
+                du = -Cig
+            nu_bar = mu[n_tc:]
 
             # Expand: forward recursion for the state step.
             def expand(carry, inp):
@@ -542,11 +663,12 @@ class MPCProblemSpec:
 
             # Eliminated multipliers (defects pi_s, pin sigma) by the
             # backward adjoint pass — the merit penalty must dominate ALL
-            # equality multipliers, not just the terminal ones.
-            r_lin = r_bar + J_bar @ du
+            # equality multipliers, not just the terminal ones. The
+            # terminal-cost rows' post-step gradient contribution
+            # w^2 (U du + b) IS the augmented multiplier mu.
             gN = jnp.zeros((sd,), dtype)
             for i, spec in enumerate(term_costs):
-                gN = gN.at[spec.coord].add(spec.weight * r_lin[i])
+                gN = gN.at[spec.coord].add(mu[i])
             for j, spec in enumerate(term_eqs):
                 gN = gN.at[spec.coord].add(nu_bar[j])
 
@@ -579,7 +701,6 @@ class MPCProblemSpec:
                 jx_s, ju_s = inp
                 return jx_s.T @ pi, ju_s.T @ pi
             _, gu_segs = jax.lax.scan(bwd_pre, gN_pre, (jx, ju), reverse=True)
-            n_tc = len(term_costs)
             g_u_full = (
                 jnp.asarray(self._J_cost_u, dtype).T @ r[n_tc:]
                 + gu_segs.reshape(-1)
@@ -587,7 +708,7 @@ class MPCProblemSpec:
             first_order = jnp.max(jnp.abs(g_u_full))
             ok = (
                 jnp.all(jnp.isfinite(dz))
-                & jnp.all(jnp.isfinite(nu_bar))
+                & jnp.all(jnp.isfinite(mu))
                 & jnp.all(jnp.isfinite(jnp.diagonal(L)))
             )
             return dz, nu_inf, first_order, jr_dz, ok, r, c_full

@@ -175,53 +175,49 @@ def main():
 
         t_roll = _timed(roll, (xc, u0), reps, "window rollout (K steps)")
 
-        # Spectral KKT block alone: the Woodbury/eigenbasis solve on fixed
-        # condensation outputs (what replaced the batched Cholesky).
-        term_J = jnp.ones((problem.n_tc, K, B), dtype) * 0.01
+        # Spectral KKT block alone on fixed condensation outputs: the
+        # augmented eigenbasis + QR-Schur solve (what replaced the
+        # batched Cholesky; mirrors mpc/lanes.py::condensed_step).
+        n_all = problem.n_tc + problem.n_t
+        A_rows = jnp.ones((n_all, K, B), dtype) * 0.02
+        b_rows = jnp.ones((n_all, B), dtype) * 0.1
         g = jnp.ones((K, B), dtype)
-        A_bar = jnp.ones((problem.n_t, K, B), dtype) * 0.02
-        c_bar = jnp.ones((problem.n_t, B), dtype) * 0.1
         lam_k = jnp.full((B,), 0.1, dtype)
 
-        from cartpole_tpu.mpc.problem import _tiny_spd_solve
+        from cartpole_tpu.mpc.problem import _qr_gram_factor
         Q = jnp.asarray(problem._Hu_Q, dtype)
         eigs = jnp.asarray(problem._Hu_eigs, dtype)
-        n_tc, n_t = problem.n_tc, problem.n_t
+        Dhalf = jnp.asarray(
+            np.diag(np.sqrt(problem._D_diag)), dtype
+        )
 
-        def spectral(tJ, g_, A_, c_, lam_):
+        def spectral(A_, b_, g_, lam_):
             d_inv = 1.0 / (eigs[:, None] + lam_[None, :])
+            dh_inv = jnp.sqrt(d_inv)
 
-            def c_solve(X):
+            def basis_solve(X, scale):
                 R = X.shape[0]
                 X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
-                Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
+                Y = (Q.T @ X2).reshape(K, R, B) * scale[:, None, :]
                 Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
                 return jnp.transpose(Zr, (1, 0, 2))
 
-            CiU = c_solve(tJ)
-            M_w = jnp.eye(n_tc, dtype=dtype)[:, :, None] + jnp.sum(
-                tJ[:, None, :, :] * CiU[None, :, :, :], axis=2)
+            sol = basis_solve(
+                jnp.concatenate([A_, g_[None]], axis=0), d_inv
+            )
+            CiA, Cig = sol[:n_all], sol[n_all]
+            G = basis_solve(A_, dh_inv)
+            T = jnp.concatenate([
+                jnp.transpose(G, (1, 0, 2)),
+                jnp.broadcast_to(Dhalf[:, :, None], (n_all, n_all, B)),
+            ], axis=0)
+            mu = _qr_gram_factor(T)(
+                b_ - jnp.sum(A_ * Cig[None], axis=1)
+            )
+            du = -(Cig + jnp.sum(CiA * mu[:, None, :], axis=0))
+            return (A_ + 0.0 * du[None], b_, g_, lam_)
 
-            def h_solve(X):
-                CiX = c_solve(X)
-                UtCiX = jnp.sum(
-                    tJ[:, None, :, :] * CiX[None, :, :, :], axis=2)
-                W = jnp.stack(
-                    [_tiny_spd_solve(M_w, UtCiX[:, j, :])
-                     for j in range(X.shape[0])], axis=1)
-                return CiX - jnp.sum(
-                    W[:, :, None, :] * CiU[:, None, :, :], axis=0)
-
-            sol = h_solve(jnp.concatenate([A_, g_[None]], axis=0))
-            HiAt, Hig = sol[:n_t], sol[n_t]
-            S_bar = jnp.sum(
-                A_[:, None, :, :] * HiAt[None, :, :, :], axis=2)
-            nu = _tiny_spd_solve(
-                S_bar, c_ - jnp.sum(A_ * Hig[None], axis=1))
-            du = -(Hig + jnp.sum(HiAt * nu[:, None, :], axis=0))
-            return (tJ + 0.0 * du[None], g_, A_, c_, lam_)
-
-        t_kkt = _timed(spectral, (term_J, g, A_bar, c_bar, lam_k), reps,
+        t_kkt = _timed(spectral, (A_rows, b_rows, g, lam_k), reps,
                        "KKT (spectral)")
 
         # One full MPC tick for reference.

@@ -102,6 +102,26 @@ class TestTinySpdRobustness:
         expected = np.linalg.solve(np.asarray(S), np.asarray(b))
         np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-10)
 
+    def test_mixed_row_scales_f32(self):
+        """Rows of wildly different physical scale (the augmented Schur
+        complement mixes soft terminal-cost rows with hard equality
+        rows): Jacobi equilibration keeps the ridge proportionate per
+        row — a trace-relative ridge would swamp the small rows."""
+        rng = np.random.RandomState(7)
+        A = rng.randn(4, 6)
+        d = np.diag([1e4, 1e4, 1.0, 1e-3])
+        S_np = d @ (A @ A.T + 0.5 * np.eye(4)) @ d  # row scales span 1e14
+        b_np = d @ rng.randn(4)
+        x = np.asarray(
+            _tiny_spd_solve(
+                jnp.asarray(S_np, jnp.float32), jnp.asarray(b_np, jnp.float32)
+            ),
+            np.float64,
+        )
+        expected = np.linalg.solve(S_np, b_np)
+        err = np.abs(x - expected) / np.abs(expected)
+        assert err.max() < 1e-3, f"relative error {err}"
+
     def test_lanes_layout_batched(self):
         rng = np.random.RandomState(1)
         A = rng.randn(5, 3, 3)
