@@ -559,9 +559,14 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
         viol_a = jnp.sum(jnp.abs(ca), axis=0).reshape(n_ls, B)
         phi_trials = cost_a + mu_new[None] * viol_a  # (A, B)
         phi_trials = jnp.where(jnp.isfinite(phi_trials), phi_trials, jnp.inf)
+        # Few-ulp merit slack: see NLSConfig.merit_slack_ulps (without it,
+        # noise-level rejections ratchet lambda to spurious MAX_LAMBDA).
+        slack = (
+            config.merit_slack_ulps * jnp.finfo(dtype).eps * jnp.abs(phi0)
+        )
         accepts = phi_trials <= phi0 + config.armijo_c1 * (
             alphas_arr[:, None] * dphi
-        )
+        ) + slack
         any_accept = jnp.any(accepts, axis=0) & qp_ok
         first_idx = jnp.argmax(accepts, axis=0)  # (B,)
         alpha_used = jnp.where(any_accept, alphas_arr[first_idx], 0.0)

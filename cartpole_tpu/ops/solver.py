@@ -97,6 +97,17 @@ class NLSConfig:
     lambda_failure_floor: float = 1.0e-4
     lambda_max: float = 1.0e6
     armijo_c1: float = 1.0e-4
+    #: Armijo slack in ulps of the merit value: accept steps whose merit
+    #: is within ``merit_slack_ulps * eps(dtype) * |phi0|`` of the Armijo
+    #: bound. Near a minimizer the true per-step improvement drops below
+    #: the dtype's rounding noise (f32 at merit scale 1e4: noise ~6e-4),
+    #: where a strict comparison rejects genuine steps, the LM lambda
+    #: then ratchets x10 per "failure", and 10 consecutive noise-level
+    #: rejections spuriously hit MAX_LAMBDA — measured as tens of
+    #: thousands of false MAX_LAMBDA codes on the f32 double-pole bench
+    #: at max_iterations >= 12. A few-ulp slack is invisible to the
+    #: descent guarantee and converts those into clean terminations.
+    merit_slack_ulps: float = 4.0
     #: Tiny negative regularization of the KKT constraint block.
     kkt_reg: float = 1.0e-10
     #: KKT linear-solver: "lu" factors the full symmetric-indefinite system
@@ -370,7 +381,12 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
 
         z_trials, phi_trials = jax.vmap(trial)(ls_alphas)
         phi_trials = jnp.where(jnp.isfinite(phi_trials), phi_trials, jnp.inf)
-        accepts = phi_trials <= phi0 + config.armijo_c1 * ls_alphas * dphi
+        slack = (
+            config.merit_slack_ulps * jnp.finfo(dtype).eps * jnp.abs(phi0)
+        )
+        accepts = (
+            phi_trials <= phi0 + config.armijo_c1 * ls_alphas * dphi + slack
+        )
         any_accept = jnp.any(accepts) & qp_ok
         # First acceptable alpha (largest step).
         first_idx = jnp.argmax(accepts)
