@@ -178,6 +178,38 @@ def _cmd_interactive(args) -> int:
     return 0
 
 
+def _cmd_web(args) -> int:
+    import jax.numpy as jnp
+
+    if args.model == "double" and "window_length" not in json.loads(args.params):
+        args.params = json.dumps(
+            {**json.loads(args.params), "window_length": 60}
+        )
+    mpc, dynamics_params, x0, dtype = _setup(args)
+    from .interactive import InteractiveLoop
+    from .web import WebApp
+
+    loop = InteractiveLoop(
+        params=mpc.params, dynamics_params=dynamics_params, dtype=dtype,
+        model=mpc.model, render=False,
+    )
+    loop.x = jnp.asarray(x0, dtype)
+    loop.set_point = args.set_point
+    app = WebApp(loop=loop)
+    host, port = app.start(args.host, args.port)
+    print(f"cartpole_tpu web demo at http://{host}:{port}/ (ctrl-c to stop)")
+    try:
+        import time as _time
+
+        while True:
+            _time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.stop()
+    return 0
+
+
 def _cmd_sweep(args) -> int:
     import jax
     import jax.numpy as jnp
@@ -258,6 +290,17 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     )
     _add_common(ap_int)
     ap_int.set_defaults(fn=_cmd_interactive)
+
+    ap_web = sub.add_parser(
+        "web",
+        help="browser demo: canvas renderer + mouse pokes + live param "
+        "sliders over a local HTTP server (the reference web app's "
+        "capability, solver server-side)",
+    )
+    _add_common(ap_web)
+    ap_web.add_argument("--host", default="127.0.0.1")
+    ap_web.add_argument("--port", type=int, default=8080)
+    ap_web.set_defaults(fn=_cmd_web)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -139,6 +139,8 @@ class InteractiveLoop:
         self.x = self._hang_state()
         # [base, link-1 mass, (link-2 mass)] x (fx, fy).
         self.forces = np.zeros((1 + len(model.angle_indices), 2))
+        #: Cart set-point (the UI's cartSetPointSlider, application.ts:267-275).
+        self.set_point = 0.0
         self.enabled = True
         self.log = SolveLog()
         self.tick_count = 0
@@ -231,7 +233,8 @@ class InteractiveLoop:
         dt = self.params.control_dt
         if self.enabled:
             outputs, self.mpc_state = self._step(
-                self.mpc_state, self.x, self.dp, 0.0
+                self.mpc_state, self.x, self.dp,
+                jnp.asarray(self.set_point, self.dtype),
             )
             u0 = outputs.u[0]
             self.log.append(outputs)

@@ -1,0 +1,327 @@
+"""HTTP/JSON server wrapping :class:`~cartpole_tpu.interactive.InteractiveLoop`.
+
+The reference runs the whole demo in the browser via WASM
+(``/root/reference/viz/src/application.ts``); on a TPU pod the solver
+lives server-side instead, and the browser page (``page.py``) is a thin
+renderer + input surface. The split preserves every behavior:
+
+* fixed-timestep accumulator loop with the 0.2 s frame-gap watchdog
+  (``application.ts:375-399``) — here in the server's tick thread;
+* mouse/touch pokes: nearest-mass selection + incident angle resolved by
+  the client (``input.ts:44-82``), force model (10x mass, tau=0.1 s
+  decay) applied by ``mpc/poke.py``;
+* live dynamics sliders (jit arguments, no recompile) and cost sliders /
+  cost<->equality checkboxes that rebuild the optimizer
+  (``application.ts:279-373``);
+* controller enable toggle with warm-start reset on re-enable
+  (``application.ts:209-214``);
+* the 5000-entry ring-buffer solve log saved as ``log.json`` and the
+  Chrome-trace export (``application.ts:344-364``, ``wasm.cc:122-138``).
+
+Endpoints (all JSON unless noted):
+  ``GET  /``              the HTML page
+  ``GET  /state``         current plant/controller snapshot + plot rings
+  ``POST /poke``          ``{"mass_index": i, "incident_angle": a}``
+  ``POST /dynamics``      partial dynamics-params update (slider move)
+  ``POST /optimization``  partial OptimizationParams update (rebuilds MPC)
+  ``POST /control``       ``{"enabled"?, "sim_rate"?, "set_point"?}``
+  ``POST /reset``         reset plant + warm start
+  ``POST /tick``          ``{"n": k}`` step k ticks (headless/test mode)
+  ``GET  /log``           solve log JSON array (the saveLogButton payload)
+  ``GET  /traces``        Chrome trace JSON (the saveTracesButton payload)
+"""
+
+from __future__ import annotations
+
+import collections
+import dataclasses
+import json
+import math
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from ..interactive import FRAME_GAP_WATCHDOG, InteractiveLoop
+from ..utils import tracing
+
+__all__ = ["WebApp", "serve"]
+
+#: Plot history length. The reference keeps ``windowLength()`` samples per
+#: plotter (``application.ts:509-526``); we keep a few windows so the strip
+#: charts read as time series at browser frame rates.
+PLOT_RING_WINDOWS = 8
+
+
+def _mass_locations(x, lengths):
+    """Metric positions of [base, link-1 tip, (link-2 tip)] — the pokeable
+    masses (``utils.ts::massLocationsFromState`` semantics)."""
+    pts = [(float(x[0]), 0.0)]
+    px, py = pts[0]
+    for i, l_i in enumerate(lengths):
+        th = float(x[1 + i])
+        px, py = px + l_i * math.cos(th), py + l_i * math.sin(th)
+        pts.append((px, py))
+    return pts
+
+
+class WebApp:
+    """Owns the interactive loop, a tick thread, and the JSON snapshot the
+    page polls. All loop access is serialized by one lock: HTTP handlers
+    mutate controls between ticks, never during one."""
+
+    def __init__(
+        self,
+        loop: Optional[InteractiveLoop] = None,
+        realtime: bool = True,
+        **loop_kwargs,
+    ):
+        self.loop = loop if loop is not None else InteractiveLoop(
+            render=False, **loop_kwargs
+        )
+        self.loop.render = False
+        self._lock = threading.RLock()
+        maxlen = self.loop.params.window_length * PLOT_RING_WINDOWS
+        self._plots = {
+            name: collections.deque(maxlen=maxlen)
+            for name in ("control", "angle", "speed")
+        }
+        self._predicted = None
+        self._u0 = 0.0
+        self._t = 0.0
+        self._realtime = realtime
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._httpd: Optional[ThreadingHTTPServer] = None
+
+    # ----------------------------------------------------------------- ticks
+    def tick(self) -> None:
+        """One control tick + snapshot bookkeeping (updatePlots,
+        ``application.ts:504-527``)."""
+        with self._lock:
+            lp = self.loop
+            outputs = lp.tick()
+            t = self._t
+            self._t += lp.params.control_dt
+            if outputs is not None:
+                self._u0 = float(np.asarray(outputs.u)[0])
+                self._predicted = np.asarray(
+                    outputs.predicted_states, dtype=float
+                ).tolist()
+            else:
+                self._u0 = 0.0
+                self._predicted = None
+            x = np.asarray(lp.x, dtype=float)
+            self._plots["control"].append((t, self._u0))
+            self._plots["angle"].append((t, math.degrees(float(x[1]))))
+            n_ang = len(lp.model.angle_indices)
+            self._plots["speed"].append((t, float(x[1 + n_ang])))
+
+    def step_ticks(self, n: int) -> None:
+        for _ in range(int(n)):
+            self.tick()
+
+    def _run_loop(self) -> None:
+        """Fixed-timestep accumulator with the frame-gap watchdog
+        (``application.ts:375-399``)."""
+        dt = self.loop.params.control_dt
+        accum = 0.0
+        last = time.perf_counter()
+        while not self._stop.is_set():
+            now = time.perf_counter()
+            gap = now - last
+            last = now
+            if gap > FRAME_GAP_WATCHDOG:
+                gap = 0.0  # paused/backgrounded: drop time, don't catch up
+            accum += gap * self.loop.sim_rate
+            while accum >= dt and not self._stop.is_set():
+                self.tick()
+                accum -= dt
+            time.sleep(0.005)
+
+    # --------------------------------------------------------------- state
+    def snapshot(self) -> dict:
+        with self._lock:
+            lp = self.loop
+            dp = {
+                k: float(np.asarray(v))
+                for k, v in dataclasses.asdict(lp.dp).items()
+            }
+            lengths = [dp["l_1"]] + ([dp["l_2"]] if "l_2" in dp else [])
+            x = np.asarray(lp.x, dtype=float).tolist()
+            return {
+                "model": lp.model.name,
+                "tick": lp.tick_count,
+                "t": self._t,
+                "x": x,
+                "lengths": lengths,
+                "masses": _mass_locations(x, lengths),
+                "enabled": lp.enabled,
+                "sim_rate": lp.sim_rate,
+                "set_point": lp.set_point,
+                "u0": self._u0,
+                "forces": np.asarray(lp.forces, dtype=float).tolist(),
+                "predicted": self._predicted if lp.enabled else None,
+                "plots": {
+                    k: {
+                        "t": [p[0] for p in ring],
+                        "y": [p[1] for p in ring],
+                    }
+                    for k, ring in self._plots.items()
+                },
+                "dynamics": dp,
+                "optimization": json.loads(lp.params.to_json()),
+                "tracing": tracing.is_tracing_enabled(),
+            }
+
+    # ------------------------------------------------------------- mutations
+    def poke(self, mass_index: int, incident_angle: float) -> None:
+        with self._lock:
+            self.loop.poke(int(mass_index), float(incident_angle))
+
+    def set_dynamics(self, **changes) -> None:
+        valid = {f.name for f in dataclasses.fields(self.loop.dp)}
+        unknown = set(changes) - valid
+        if unknown:
+            raise ValueError(f"unknown dynamics fields: {sorted(unknown)}")
+        with self._lock:
+            self.loop.set_dynamics(
+                **{k: float(v) for k, v in changes.items()}
+            )
+
+    def set_optimization(self, **changes) -> None:
+        # OptimizationParams.replace/__post_init__ validates field values;
+        # reject unknown names here for a clean 400.
+        valid = {f.name for f in dataclasses.fields(self.loop.params)}
+        unknown = set(changes) - valid
+        if unknown:
+            raise ValueError(f"unknown optimization fields: {sorted(unknown)}")
+        with self._lock:
+            self.loop.set_params(**changes)
+
+    def set_control(self, enabled=None, sim_rate=None, set_point=None) -> None:
+        with self._lock:
+            lp = self.loop
+            if enabled is not None and bool(enabled) != lp.enabled:
+                lp.toggle_controller()
+            if sim_rate is not None:
+                lp.sim_rate = min(max(float(sim_rate), 0.0), 1.0)
+            if set_point is not None:
+                lp.set_point = float(set_point)
+
+    def reset(self) -> None:
+        with self._lock:
+            self.loop.reset_plant()
+
+    # ------------------------------------------------------------ lifecycle
+    def start(self, host: str = "127.0.0.1", port: int = 8080):
+        """Bind the HTTP server and (in realtime mode) start the tick
+        thread. Returns the bound ``(host, port)``."""
+        self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
+        self._httpd.daemon_threads = True
+        if self._realtime:
+            self._thread = threading.Thread(
+                target=self._run_loop, name="cartpole-web-ticks", daemon=True
+            )
+            self._thread.start()
+        threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        ).start()
+        return self._httpd.server_address
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+
+
+def _make_handler(app: WebApp):
+    from .page import PAGE_HTML
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, code: int, payload) -> None:
+            self._send(
+                code,
+                json.dumps(payload).encode(),
+                "application/json; charset=utf-8",
+            )
+
+        def do_GET(self):
+            path = self.path.split("?", 1)[0]
+            if path == "/":
+                self._send(
+                    200, PAGE_HTML.encode(), "text/html; charset=utf-8"
+                )
+            elif path == "/state":
+                self._json(200, app.snapshot())
+            elif path == "/log":
+                with app._lock:
+                    body = app.loop.log.to_json().encode()
+                self._send(200, body, "application/json; charset=utf-8")
+            elif path == "/traces":
+                body = tracing.get_trace_json().encode()
+                self._send(200, body, "application/json; charset=utf-8")
+            else:
+                self._json(404, {"error": f"unknown path {path}"})
+
+        def do_POST(self):
+            path = self.path.split("?", 1)[0]
+            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if path == "/poke":
+                    app.poke(body["mass_index"], body["incident_angle"])
+                elif path == "/dynamics":
+                    app.set_dynamics(**body)
+                elif path == "/optimization":
+                    app.set_optimization(**body)
+                elif path == "/control":
+                    app.set_control(
+                        enabled=body.get("enabled"),
+                        sim_rate=body.get("sim_rate"),
+                        set_point=body.get("set_point"),
+                    )
+                elif path == "/reset":
+                    app.reset()
+                elif path == "/tick":
+                    app.step_ticks(body.get("n", 1))
+                else:
+                    self._json(404, {"error": f"unknown path {path}"})
+                    return
+            except (KeyError, TypeError, ValueError) as e:
+                self._json(400, {"error": str(e)})
+                return
+            self._json(200, {"ok": True})
+
+    return Handler
+
+
+def serve(host: str = "127.0.0.1", port: int = 8080, **loop_kwargs) -> None:
+    """Blocking entry point (the CLI's ``web`` subcommand)."""
+    app = WebApp(**loop_kwargs)
+    bound_host, bound_port = app.start(host, port)
+    print(f"cartpole_tpu web demo at http://{bound_host}:{bound_port}/")
+    try:
+        while True:
+            time.sleep(1.0)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        app.stop()

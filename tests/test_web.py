@@ -1,0 +1,237 @@
+"""Web front-end tests — cartpole_tpu/web/.
+
+Exercises the JSON API surface that replaces the reference's WASM
+embinding (``/root/reference/optimization/wasm.cc``) and the application
+behaviors it feeds (``viz/src/application.ts``): state snapshots with
+ghost predictions, poke semantics, live dynamics updates, optimizer
+rebuild on cost/equality changes, controller toggle with reset, the
+ring-buffer log export, and the trace export.
+"""
+
+import json
+import math
+import urllib.request
+
+import numpy as np
+import pytest
+
+from cartpole_tpu.interactive import InteractiveLoop
+from cartpole_tpu.mpc.config import OptimizationParams
+from cartpole_tpu.mpc.poke import POKE_FORCE_SCALE
+from cartpole_tpu.utils import tracing
+from cartpole_tpu.web import WebApp
+from cartpole_tpu.web.page import PAGE_HTML
+
+
+def _make_app(**kw):
+    loop = InteractiveLoop(
+        params=OptimizationParams(max_iterations=4, state_spacing=5),
+        render=False,
+        **kw,
+    )
+    return WebApp(loop=loop, realtime=False)
+
+
+@pytest.fixture(scope="module")
+def served():
+    """One live server (port 0 = ephemeral) shared by the HTTP tests."""
+    app = _make_app()
+    host, port = app.start("127.0.0.1", 0)
+    yield app, f"http://{host}:{port}"
+    app.stop()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=30) as r:
+        return r.status, r.read()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=120) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestSnapshot:
+    def test_initial_state_hangs_down(self):
+        app = _make_app()
+        s = app.snapshot()
+        assert s["model"] == "single"
+        assert s["tick"] == 0
+        assert s["x"][1] == pytest.approx(-math.pi / 2)
+        assert s["enabled"] is True
+        assert len(s["lengths"]) == 1
+        assert len(s["masses"]) == 2  # base + pole tip
+        assert s["optimization"]["window_length"] == 40
+
+    def test_tick_populates_prediction_and_plots(self):
+        app = _make_app()
+        app.step_ticks(3)
+        s = app.snapshot()
+        assert s["tick"] == 3
+        pred = np.asarray(s["predicted"])
+        assert pred.shape == (40, 4)  # (window_length, state_dim)
+        assert np.isfinite(pred).all()
+        for name in ("control", "angle", "speed"):
+            assert len(s["plots"][name]["t"]) == 3
+        # Controller is pushing: u0 recorded in the control plot.
+        assert s["plots"]["control"]["y"][-1] == s["u0"]
+
+    def test_mass_locations_follow_kinematics(self):
+        app = _make_app()
+        s = app.snapshot()
+        base, tip = s["masses"]
+        l1 = s["lengths"][0]
+        th = s["x"][1]
+        assert tip[0] == pytest.approx(base[0] + l1 * math.cos(th))
+        assert tip[1] == pytest.approx(l1 * math.sin(th))
+
+
+class TestMutations:
+    def test_poke_applies_10x_mass_force(self):
+        app = _make_app()
+        app.poke(1, 0.0)  # pole mass, angle 0 -> force (-10*m_1, 0)
+        f = np.asarray(app.snapshot()["forces"])
+        m_1 = app.snapshot()["dynamics"]["m_1"]
+        assert f[1, 0] == pytest.approx(-POKE_FORCE_SCALE * m_1)
+        assert f[1, 1] == pytest.approx(0.0, abs=1e-12)
+        # Forces decay after ticks (tau = 0.1 s).
+        app.step_ticks(2)
+        f2 = np.asarray(app.snapshot()["forces"])
+        assert abs(f2[1, 0]) < abs(f[1, 0])
+
+    def test_dynamics_update_no_rebuild(self):
+        app = _make_app()
+        mpc_before = app.loop.mpc
+        app.set_dynamics(m_1=0.25)
+        assert app.snapshot()["dynamics"]["m_1"] == pytest.approx(0.25)
+        assert app.loop.mpc is mpc_before  # jit argument, no rebuild
+
+    def test_optimization_update_rebuilds(self):
+        app = _make_app()
+        mpc_before = app.loop.mpc
+        app.set_optimization(th_final_cost_weight=120.0)
+        assert app.loop.mpc is not mpc_before
+        assert app.snapshot()["optimization"]["th_final_cost_weight"] == 120.0
+        # Equality convention: negative weight.
+        app.set_optimization(th_final_cost_weight=-1.0)
+        assert app.snapshot()["optimization"]["th_final_cost_weight"] == -1.0
+
+    def test_unknown_fields_rejected(self):
+        app = _make_app()
+        with pytest.raises(ValueError, match="unknown dynamics"):
+            app.set_dynamics(bogus=1.0)
+        with pytest.raises(ValueError, match="unknown optimization"):
+            app.set_optimization(bogus=1.0)
+
+    def test_toggle_and_reset(self):
+        app = _make_app()
+        app.step_ticks(2)
+        app.set_control(enabled=False)
+        s = app.snapshot()
+        assert s["enabled"] is False and s["predicted"] is None
+        app.step_ticks(1)
+        assert app.snapshot()["u0"] == 0.0  # control not applied
+        app.set_control(enabled=True)  # re-enable resets warm start
+        assert app.snapshot()["enabled"] is True
+        app.set_control(sim_rate=0.5, set_point=0.3)
+        s = app.snapshot()
+        assert s["sim_rate"] == 0.5 and s["set_point"] == 0.3
+        app.reset()
+        assert app.snapshot()["x"][1] == pytest.approx(-math.pi / 2)
+
+
+class TestHTTP:
+    def test_page_serves(self, served):
+        _, base = served
+        status, body = _get(base, "/")
+        assert status == 200
+        html = body.decode()
+        # The UI ids the reference page wires up (application.ts:208-365).
+        for el in (
+            "cartPoleCanvas", "controlPlot", "anglePlot", "speedPlot",
+            "enableControllerCheckbox", "simRateSlider",
+            "baseMassSlider", "cartSetPointSlider",
+            "thetaCostSlider", "thetaCostCheckbox",
+            "saveLogButton", "saveTracesButton",
+        ):
+            assert el in html
+
+    def test_state_tick_poke_roundtrip(self, served):
+        app, base = served
+        status, _ = _post(base, "/tick", {"n": 2})
+        assert status == 200
+        status, body = _get(base, "/state")
+        s = json.loads(body)
+        assert status == 200 and s["tick"] >= 2
+        status, _ = _post(
+            base, "/poke", {"mass_index": 0, "incident_angle": math.pi}
+        )
+        assert status == 200
+        f = np.asarray(json.loads(_get(base, "/state")[1])["forces"])
+        assert f[0, 0] > 0  # +x force at the base (cos(pi) flips sign)
+
+    def test_param_endpoints(self, served):
+        app, base = served
+        status, _ = _post(base, "/dynamics", {"m_1": 0.3})
+        assert status == 200
+        status, _ = _post(base, "/control", {"set_point": -0.2})
+        assert status == 200
+        s = json.loads(_get(base, "/state")[1])
+        assert s["dynamics"]["m_1"] == pytest.approx(0.3)
+        assert s["set_point"] == -0.2
+        status, err = _post(base, "/dynamics", {"nope": 1.0})
+        assert status == 400 and "unknown" in err["error"]
+        status, err = _post(base, "/nope", {})
+        assert status == 404
+
+    def test_log_and_traces_endpoints(self, served):
+        app, base = served
+        _post(base, "/tick", {"n": 1})
+        status, body = _get(base, "/log")
+        entries = json.loads(body)
+        assert status == 200 and isinstance(entries, list) and entries
+        # Same JSON shape as the reference log (wasm.cc:46-65 fields).
+        assert "u" in entries[-1] and "predicted_states" in entries[-1]
+        tracing.set_tracing_enabled(True)
+        try:
+            with tracing.trace_scope("web-test"):
+                pass
+            status, body = _get(base, "/traces")
+            trace = json.loads(body)
+            assert status == 200
+            assert any(ev["name"] == "web-test" for ev in trace["traceEvents"])
+        finally:
+            tracing.set_tracing_enabled(False)
+
+
+class TestRealtimeThread:
+    def test_ticks_advance_in_realtime_mode(self):
+        import time
+
+        loop = InteractiveLoop(
+            params=OptimizationParams(max_iterations=2, state_spacing=10),
+            render=False, sim_rate=1.0,
+        )
+        app = WebApp(loop=loop, realtime=True)
+        app.start("127.0.0.1", 0)
+        try:
+            loop.tick()  # compile before timing the thread
+            start = loop.tick_count
+            deadline = time.time() + 10.0
+            while loop.tick_count == start and time.time() < deadline:
+                time.sleep(0.05)
+            assert loop.tick_count > start
+        finally:
+            app.stop()
+
+
+def test_page_html_is_selfcontained():
+    # No external scripts/styles: the page must work with zero egress.
+    assert "http://" not in PAGE_HTML and "https://" not in PAGE_HTML
+    assert "<script src" not in PAGE_HTML
