@@ -109,8 +109,13 @@ let activeIndex = null;     // held mass while clicked (input.ts:68-82)
 
 // ---------------------------------------------------------------- transform
 // Metric -> pixel. Span sized so the bumper walls (x_s) stay visible.
+// The double-pole model carries no springs (no x_s field): fall back to
+// the single model's wall position for the viewport span.
+function wallX(s) {
+  return s.dynamics.x_s !== undefined ? s.dynamics.x_s : 0.8;
+}
 function transform(s) {
-  const span = 2.0 * (s.dynamics.x_s + 0.55);
+  const span = 2.0 * (wallX(s) + 0.55);
   const scale = canvas.width / span;
   const cy = canvas.height * 0.62;      // floor line
   return {
@@ -170,10 +175,12 @@ function draw() {
   const [, floorY] = tf.toPx(0, 0);
   ctx.strokeStyle = '#444c56'; ctx.lineWidth = 2;
   ctx.beginPath(); ctx.moveTo(0, floorY + 10); ctx.lineTo(canvas.width, floorY + 10); ctx.stroke();
-  for (const wx of [-s.dynamics.x_s, s.dynamics.x_s]) {
-    const [px] = tf.toPx(wx, 0);
-    ctx.strokeStyle = '#6b4b3e';
-    ctx.beginPath(); ctx.moveTo(px, floorY + 10); ctx.lineTo(px, floorY - 40); ctx.stroke();
+  if (s.dynamics.x_s !== undefined) {
+    for (const wx of [-s.dynamics.x_s, s.dynamics.x_s]) {
+      const [px] = tf.toPx(wx, 0);
+      ctx.strokeStyle = '#6b4b3e';
+      ctx.beginPath(); ctx.moveTo(px, floorY + 10); ctx.lineTo(px, floorY - 40); ctx.stroke();
+    }
   }
   // Set-point marker.
   const [spx] = tf.toPx(s.set_point, 0);
@@ -332,6 +339,10 @@ setInterval(poll, 33);
 function slider(id, min, max, step, initial, onInput, fmt) {
   const el = document.getElementById(id + 'Slider');
   const out = document.getElementById(id + 'Output');
+  if (initial === undefined) {  // field absent on this model: hide the row
+    el.closest('.ctl').style.display = 'none';
+    return;
+  }
   el.min = min; el.max = max; el.step = step; el.value = initial;
   out.textContent = (fmt || ((v) => v.toFixed(2)))(initial);
   el.addEventListener('input', () => {

@@ -82,6 +82,27 @@ class TestSnapshot:
         # Controller is pushing: u0 recorded in the control plot.
         assert s["plots"]["control"]["y"][-1] == s["u0"]
 
+    def test_double_model_snapshot(self):
+        from cartpole_tpu.models.base import DOUBLE_CARTPOLE
+
+        loop = InteractiveLoop(
+            params=OptimizationParams(
+                max_iterations=2, state_spacing=10, window_length=20
+            ),
+            render=False,
+            model=DOUBLE_CARTPOLE,
+        )
+        app = WebApp(loop=loop, realtime=False)
+        app.step_ticks(1)
+        s = app.snapshot()
+        assert s["model"] == "double"
+        assert len(s["lengths"]) == 2
+        assert len(s["masses"]) == 3  # base + two link tips
+        # The double model has no springs/friction/drag: the page must
+        # tolerate the absent fields (wallX fallback + hidden sliders).
+        assert "x_s" not in s["dynamics"]
+        assert np.asarray(s["predicted"]).shape == (20, 6)
+
     def test_mass_locations_follow_kinematics(self):
         app = _make_app()
         s = app.snapshot()
