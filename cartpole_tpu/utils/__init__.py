@@ -7,7 +7,12 @@ log becomes :class:`SolveLog`; the implicit "warm start == resumable state"
 contract becomes explicit checkpoint save/load of solver-state PyTrees.
 """
 
-from .checkpoint import load_state, save_state
+from .checkpoint import (
+    load_state,
+    load_state_orbax,
+    save_state,
+    save_state_orbax,
+)
 from .debug import DebugCheckError, assert_all_finite, checked, debug_mode
 from .logging import SolveLog, solve_log_entry, solver_summary
 from .tracing import (
@@ -25,8 +30,10 @@ __all__ = [
     "get_trace_json",
     "is_tracing_enabled",
     "load_state",
+    "load_state_orbax",
     "profiler_trace",
     "save_state",
+    "save_state_orbax",
     "set_tracing_enabled",
     "solve_log_entry",
     "solver_summary",

@@ -11,12 +11,18 @@ a 100k-scenario receding-horizon sweep resumes exactly where it stopped.
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
 import numpy as np
 
-__all__ = ["save_state", "load_state"]
+__all__ = [
+    "save_state",
+    "load_state",
+    "save_state_orbax",
+    "load_state_orbax",
+]
 
 _SEP = "/"
 
@@ -74,3 +80,48 @@ def load_state(path: str, like: Any) -> Any:
                 )
             leaves.append(value.astype(ref.dtype))
         return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# --------------------------------------------------------------------- orbax
+# The TPU-idiomatic backend for sharded sweeps: saving writes one shard per
+# host (no gather through the ~35 MB/s host link for the full array), and
+# restoring places each leaf directly onto the devices/sharding of the
+# ``like`` tree. ``save_state`` / ``load_state`` above stay the
+# dependency-light single-host path.
+
+def save_state_orbax(path: str, tree: Any, *, async_save: bool = False):
+    """Persist a PyTree checkpoint with orbax.
+
+    ``path`` is a directory (created by orbax; must not already contain a
+    checkpoint). With ``async_save=True`` the write happens in the
+    background — the returned checkpointer exposes ``wait_until_finished()``
+    and MUST be waited on (or closed) before process exit; the receding-
+    horizon loop keeps solving while the previous warm-start snapshot
+    drains to disk.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if async_save:
+        ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        ckptr.save(path, args=ocp.args.StandardSave(tree))
+        return ckptr
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree)
+    ckptr.close()
+    return None
+
+
+def load_state_orbax(path: str, like: Any) -> Any:
+    """Restore a PyTree saved by :func:`save_state_orbax`.
+
+    ``like`` supplies the structure AND placement: leaves that are sharded
+    ``jax.Array``s are restored shard-by-shard onto their mesh, so a
+    100k-scenario sweep resumes without ever materializing host-side.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)

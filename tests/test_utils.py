@@ -194,3 +194,59 @@ class TestCheckpoint:
             pass
         else:
             raise AssertionError("expected KeyError")
+
+
+class TestOrbaxCheckpoint:
+    """The TPU-idiomatic backend: sharded save/restore + async save."""
+
+    def test_round_trip_preserves_values_and_resume(self, tmp_path):
+        from cartpole_tpu.utils import load_state_orbax, save_state_orbax
+
+        mpc, _, state = _one_solve()
+        dp = default_single_params(jnp.float64)
+        x = jnp.asarray(DOWN)
+        path = str(tmp_path / "ckpt")
+        save_state_orbax(path, state)
+        restored = load_state_orbax(path, mpc.init_state(jnp.float64))
+        np.testing.assert_array_equal(
+            np.asarray(restored.previous_solution),
+            np.asarray(state.previous_solution),
+        )
+        step = jax.jit(lambda s: mpc.step(s, x, dp))
+        out_a, _ = step(state)
+        out_b, _ = step(restored)
+        np.testing.assert_array_equal(np.asarray(out_a.u), np.asarray(out_b.u))
+
+    def test_sharded_restore_lands_on_mesh(self, tmp_path):
+        """Restore places leaves directly onto the sharding of ``like`` —
+        the resume path for scenario-sharded sweeps."""
+        from cartpole_tpu.parallel import make_scenario_mesh, shard_scenarios
+        from cartpole_tpu.utils import load_state_orbax, save_state_orbax
+
+        mesh = make_scenario_mesh()
+        mpc = make_mpc(OptimizationParams(max_iterations=2))
+        n = 2 * len(jax.devices())
+        states = jax.vmap(lambda _: mpc.init_state(jnp.float64))(jnp.arange(n))
+        sharded = shard_scenarios(states, mesh)
+        path = str(tmp_path / "sharded_ckpt")
+        save_state_orbax(path, sharded)
+        restored = load_state_orbax(path, sharded)
+        assert restored.previous_solution.sharding == sharded.previous_solution.sharding
+        np.testing.assert_array_equal(
+            np.asarray(restored.previous_solution),
+            np.asarray(sharded.previous_solution),
+        )
+
+    def test_async_save(self, tmp_path):
+        from cartpole_tpu.utils import load_state_orbax, save_state_orbax
+
+        mpc, _, state = _one_solve()
+        path = str(tmp_path / "async_ckpt")
+        ckptr = save_state_orbax(path, state, async_save=True)
+        ckptr.wait_until_finished()
+        ckptr.close()
+        restored = load_state_orbax(path, mpc.init_state(jnp.float64))
+        np.testing.assert_array_equal(
+            np.asarray(restored.previous_solution),
+            np.asarray(state.previous_solution),
+        )
