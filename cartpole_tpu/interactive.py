@@ -274,7 +274,7 @@ class InteractiveLoop:
         """
         commands = iter(commands) if commands is not None else None
         reader = None
-        if commands is None and realtime:
+        if commands is None and realtime and sys.stdin.isatty():
             reader = _TerminalReader()
         dt = self.params.control_dt
         accum = 0.0

@@ -47,6 +47,15 @@ def _tiny_spd_solve(S, b):
     (lanes layout), ``b`` ``(n,)`` / ``(n, B)``: every scalar op broadcasts
     over the trailing batch axis.
 
+    NOTE: superseded on the condensed hot paths — the terminal Schur block
+    is now solved via a 2-pass-MGS QR of the *stacked factor*
+    (:func:`_qr_gram_factor`), which avoids forming the Gram matrix at all
+    (forming it squares cond(T) into the f32 entries). This function is
+    retained as a tested standalone utility: its scale-relative-ridge
+    design is the documented fix for the round-1 ``n_failed`` bench defect
+    and the regression seeds in ``tests/test_f32_robustness.py`` replay
+    against it.
+
     Robustness: ``S`` here is always a Gram matrix (SPD in exact
     arithmetic), but at stiff iterates its entries are quadratic forms of
     long Jacobian-chain products spanning ~1e30 — an *absolute* jitter is

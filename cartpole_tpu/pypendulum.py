@@ -17,7 +17,8 @@ After that import (or ``from cartpole_tpu import pypendulum``), a plain
 Precision: the reference is C++ ``double``; this shim solves in float64
 when ``jax_enable_x64`` is on (the parity configuration) and float32
 otherwise (the TPU deployment dtype — every closed-loop threshold still
-holds there, see ``tests/test_f32_robustness.py``).
+holds there, see ``tests/test_f32_robustness.py``). The solver runs the
+``lu`` reference-parity KKT path by default (see :class:`Optimization`).
 
 Semantics preserved from the nanobind wrapper:
 
@@ -175,11 +176,19 @@ class OptimizationOutputs:
 class Optimization:
     """Mirror of ``pendulum::Optimization`` (``optimization.hpp:73-108``;
     binding ``wrapper.cc:87-90``): a stateful object carrying the warm
-    start across ``step`` calls."""
+    start across ``step`` calls.
 
-    def __init__(self, params: OptimizationParams):
+    The shim defaults to the ``lu`` KKT path — the reference-parity
+    factorization (our u(t) agrees with the independent C++ oracle to
+    2.8e-5 on it, ``tests/test_native.py``). The package-wide default is
+    the ``condensed`` TPU fast path, whose (exact) re-factorization shifts
+    iterates by ~1e-4/step, which closed-loop chaos amplifies; pass
+    ``kkt_method="condensed"`` here to opt in when throughput matters more
+    than trajectory-identity."""
+
+    def __init__(self, params: OptimizationParams, kkt_method: str = "lu"):
         self._dtype = _dtype()
-        self._mpc = _MPC(params._frozen())
+        self._mpc = _MPC(params._frozen().replace(kkt_method=kkt_method))
         self._state = self._mpc.init_state(self._dtype)
         self._jit_step = jax.jit(self._mpc.step)
 

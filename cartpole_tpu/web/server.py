@@ -78,6 +78,11 @@ class WebApp:
         realtime: bool = True,
         **loop_kwargs,
     ):
+        if loop is not None and loop_kwargs:
+            raise TypeError(
+                "loop_kwargs only apply when WebApp constructs the loop; "
+                f"got an explicit loop plus {sorted(loop_kwargs)}"
+            )
         self.loop = loop if loop is not None else InteractiveLoop(
             render=False, **loop_kwargs
         )
@@ -126,10 +131,11 @@ class WebApp:
     def _run_loop(self) -> None:
         """Fixed-timestep accumulator with the frame-gap watchdog
         (``application.ts:375-399``)."""
-        dt = self.loop.params.control_dt
         accum = 0.0
         last = time.perf_counter()
         while not self._stop.is_set():
+            # Re-read every frame: POST /optimization can change control_dt.
+            dt = self.loop.params.control_dt
             now = time.perf_counter()
             gap = now - last
             last = now
@@ -200,6 +206,12 @@ class WebApp:
             raise ValueError(f"unknown optimization fields: {sorted(unknown)}")
         with self._lock:
             self.loop.set_params(**changes)
+            maxlen = self.loop.params.window_length * PLOT_RING_WINDOWS
+            if self._plots["control"].maxlen != maxlen:
+                self._plots = {
+                    name: collections.deque(ring, maxlen=maxlen)
+                    for name, ring in self._plots.items()
+                }
 
     def set_control(self, enabled=None, sim_rate=None, set_point=None) -> None:
         with self._lock:
@@ -286,6 +298,8 @@ def _make_handler(app: WebApp):
             n = int(self.headers.get("Content-Length") or 0)
             try:
                 body = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
                 if path == "/poke":
                     app.poke(body["mass_index"], body["incident_angle"])
                 elif path == "/dynamics":

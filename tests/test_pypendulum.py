@@ -64,6 +64,16 @@ class TestScratchFlow:
         opt_params.max_iterations = 99
         assert opt._mpc.params.max_iterations == 4
 
+    def test_defaults_to_reference_parity_kkt_path(self):
+        # Drop-in users get the lu path (u(t) parity 2.8e-5 vs the oracle,
+        # tests/test_native.py); the TPU fast path is an explicit opt-in.
+        opt = pypendulum.Optimization(pypendulum.OptimizationParams())
+        assert opt._mpc.params.kkt_method == "lu"
+        fast = pypendulum.Optimization(
+            pypendulum.OptimizationParams(), kkt_method="condensed"
+        )
+        assert fast._mpc.params.kkt_method == "condensed"
+
     def test_unknown_param_field_rejected(self):
         with pytest.raises(TypeError, match="unknown"):
             pypendulum.OptimizationParams(bogus=1.0)

@@ -150,6 +150,24 @@ class TestMutations:
         with pytest.raises(ValueError, match="unknown optimization"):
             app.set_optimization(bogus=1.0)
 
+    def test_explicit_loop_plus_kwargs_rejected(self):
+        loop = InteractiveLoop(
+            params=OptimizationParams(max_iterations=2), render=False
+        )
+        with pytest.raises(TypeError, match="loop_kwargs"):
+            WebApp(loop=loop, sim_rate=0.5)
+
+    def test_window_length_change_resizes_plot_rings(self):
+        app = _make_app()
+        app.step_ticks(1)
+        old_len = app._plots["control"].maxlen
+        app.set_optimization(window_length=20)
+        assert app._plots["control"].maxlen != old_len
+        # History survives the resize; ticking keeps appending.
+        assert len(app._plots["control"]) == 1
+        app.step_ticks(1)
+        assert len(app._plots["control"]) == 2
+
     def test_toggle_and_reset(self):
         app = _make_app()
         app.step_ticks(2)
@@ -210,6 +228,9 @@ class TestHTTP:
         assert status == 400 and "unknown" in err["error"]
         status, err = _post(base, "/nope", {})
         assert status == 404
+        # Non-object JSON bodies get a clean 400, not a dropped connection.
+        status, err = _post(base, "/control", [1, 2, 3])
+        assert status == 400 and "JSON object" in err["error"]
 
     def test_log_and_traces_endpoints(self, served):
         app, base = served
