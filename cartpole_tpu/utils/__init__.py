@@ -13,7 +13,13 @@ from .checkpoint import (
     save_state,
     save_state_orbax,
 )
-from .debug import DebugCheckError, assert_all_finite, checked, debug_mode
+from .debug import (
+    DebugCheckError,
+    assert_all_finite,
+    checked,
+    debug_mode,
+    leak_check,
+)
 from .logging import SolveLog, solve_log_entry, solver_summary
 from .tracing import (
     TraceCollector,
@@ -29,6 +35,7 @@ __all__ = [
     "TraceCollector",
     "get_trace_json",
     "is_tracing_enabled",
+    "leak_check",
     "load_state",
     "load_state_orbax",
     "profiler_trace",

@@ -41,6 +41,7 @@ __all__ = [
     "assert_all_finite",
     "checked",
     "debug_mode",
+    "leak_check",
 ]
 
 
@@ -122,3 +123,30 @@ def assert_all_finite(tree: Any, name: str = "tree") -> None:
         raise DebugCheckError(
             f"non-finite values in '{name}':\n" + "\n".join(bad)
         )
+
+
+def leak_check(baseline: int = 0) -> dict:
+    """Report live device arrays — the ``doLeakCheck`` analog.
+
+    The reference exports ``__lsan_do_recoverable_leak_check`` to the
+    browser (``wasm.cc:140-144``) and manually deletes embind objects so
+    LSan runs clean (``application.ts:123-130, 456``). The JAX equivalent
+    of "leaked objects" is device buffers kept alive by stray references
+    (a logging list holding whole batched outputs, a closure pinning a
+    sweep's worth of warm starts). Returns ``{"count", "nbytes",
+    "by_shape"}`` for all live committed arrays beyond ``baseline`` count;
+    call once after setup to get a baseline, again after a work loop to
+    see what accumulated.
+    """
+    arrs = [a for a in jax.live_arrays() if not a.is_deleted()]
+    by_shape: dict = {}
+    for a in arrs:
+        key = f"{a.dtype}{list(a.shape)}"
+        by_shape[key] = by_shape.get(key, 0) + 1
+    return {
+        "count": max(0, len(arrs) - baseline),
+        "nbytes": int(sum(a.nbytes for a in arrs)),
+        "by_shape": dict(
+            sorted(by_shape.items(), key=lambda kv: -kv[1])[:20]
+        ),
+    }

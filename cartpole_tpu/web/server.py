@@ -29,6 +29,7 @@ Endpoints (all JSON unless noted):
   ``POST /tick``          ``{"n": k}`` step k ticks (headless/test mode)
   ``GET  /log``           solve log JSON array (the saveLogButton payload)
   ``GET  /traces``        Chrome trace JSON (the saveTracesButton payload)
+  ``GET  /leak``          live-device-buffer report (the doLeakCheck analog)
 """
 
 from __future__ import annotations
@@ -290,6 +291,12 @@ def _make_handler(app: WebApp):
             elif path == "/traces":
                 body = tracing.get_trace_json().encode()
                 self._send(200, body, "application/json; charset=utf-8")
+            elif path == "/leak":
+                # The doLeakCheck export (wasm.cc:140-144): live device
+                # buffers instead of LSan heap objects.
+                from ..utils.debug import leak_check
+
+                self._json(200, leak_check())
             else:
                 self._json(404, {"error": f"unknown path {path}"})
 

@@ -108,3 +108,19 @@ class TestAssertAllFinite:
 
     def test_integer_leaves_ignored(self):
         assert_all_finite({"counts": jnp.arange(5)})
+
+
+class TestLeakCheck:
+    def test_counts_live_buffers(self):
+        from cartpole_tpu.utils import leak_check
+
+        base = leak_check()
+        keep = [(jnp.zeros((17, 3)) + i).block_until_ready()
+                for i in range(4)]
+        report = leak_check(baseline=base["count"])
+        assert report["count"] >= 4
+        assert report["nbytes"] >= base["nbytes"] + 4 * 17 * 3 * 8
+        assert any("[17, 3]" in k for k in report["by_shape"])
+        del keep
+        report_after = leak_check(baseline=base["count"])
+        assert report_after["nbytes"] < report["nbytes"]

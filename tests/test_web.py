@@ -277,3 +277,12 @@ def test_page_html_is_selfcontained():
     # No external scripts/styles: the page must work with zero egress.
     assert "http://" not in PAGE_HTML and "https://" not in PAGE_HTML
     assert "<script src" not in PAGE_HTML
+
+
+def test_leak_endpoint(served):
+    _, base = served
+    status, body = _get(base, "/leak")
+    report = json.loads(body)
+    assert status == 200
+    assert {"count", "nbytes", "by_shape"} <= set(report)
+    assert report["nbytes"] > 0  # the loop's warm-start state is live
