@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..models.base import SINGLE_CARTPOLE
 from ..ops.integrate import mod_pi
 from ..ops.lanes import (
     bmv,
@@ -84,6 +85,18 @@ def _wrap_rows(arr, angle_indices):
     return arr
 
 
+def _fold_lanes(arr, reps: int, batch: int):
+    """Trial-major lane fold (index ``a * batch + b``): broadcast the
+    trailing instance axis to ``reps`` copies and flatten. THE single
+    definition of the fold order — the tiled line-search problem and the
+    per-iteration trial folding must agree on it, or trial merits get
+    attributed to the wrong instances."""
+    arr = jnp.asarray(arr)
+    return jnp.broadcast_to(
+        arr[..., None, :], arr.shape[:-1] + (reps, batch)
+    ).reshape(arr.shape[:-1] + (reps * batch,))
+
+
 class _LanesProblem:
     """Per-solve closures over the lanes iterate (the batch-last analog of
     ``MPCProblemSpec.make_problem_fns`` + ``make_condensed_step``)."""
@@ -121,9 +134,15 @@ class _LanesProblem:
         # steps in the soft-terminal-cost mode). This removes the batched
         # Cholesky — measured at ~90% of the condensed step on v5e — from
         # the hot path entirely.
-        # (If every u-cost weight is zero Hu is singular: at lam = 0 the
-        # rescale produces infs, the step is rejected as not-ok, and LM
-        # raises lam — the same recovery the factorization paths have.)
+        if not np.any(self._Ju_cost):
+            # Hu == 0 would make the lam=0 rescale produce infs, and a
+            # failed step is TERMINAL (fail_qp -> QP_INDEFINITE, matching
+            # mini_opt) — there is no LM retry. Reject the config up front.
+            raise ValueError(
+                "kkt_method='condensed' requires a nonzero u-cost Gram: "
+                "set u_cost_weight or u_derivative_cost_weight > 0, or "
+                "use kkt_method='lu'/'schur'"
+            )
         e, Q = np.linalg.eigh(self._Hu.astype(np.float64))
         self._Hu_eigs = np.maximum(e, 0.0)
         self._Hu_Q = Q
@@ -142,10 +161,7 @@ class _LanesProblem:
         sequential ones."""
 
         def rep(arr):
-            arr = jnp.asarray(arr)
-            return jnp.broadcast_to(
-                arr[..., None, :], arr.shape[:-1] + (A, self.B)
-            ).reshape(arr.shape[:-1] + (A * self.B,))
+            return _fold_lanes(arr, A, self.B)
 
         dp_tiled = jax.tree.map(
             lambda v: rep(v) if jnp.asarray(v).ndim else v,
@@ -372,13 +388,21 @@ class _LanesProblem:
         eigs = jnp.asarray(self._Hu_eigs, dtype)
         d_inv = 1.0 / (eigs[:, None] + lam[None, :])  # (K, B)
 
-        def c_solve(X):
-            """(Hu + lam I)^{-1} X for stacked rows X (R, K, B)."""
-            R = X.shape[0]
-            X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
-            Y = (Q.T @ X2).reshape(K, R, B) * d_inv[:, None, :]
-            Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
-            return jnp.transpose(Zr, (1, 0, 2))
+        def eig_rescale(diag):
+            """Apply ``Q diag Q^T`` to stacked rows ``X (R, K, B)`` — the
+            eigenbasis-diagonal form shared by ``C^{-1}`` (diag = d_inv)
+            and ``C^{-1/2}`` (diag = sqrt(d_inv))."""
+
+            def apply(X):
+                R = X.shape[0]
+                X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R * B)
+                Y = (Q.T @ X2).reshape(K, R, B) * diag[:, None, :]
+                Zr = (Q @ Y.reshape(K, R * B)).reshape(K, R, B)
+                return jnp.transpose(Zr, (1, 0, 2))
+
+            return apply
+
+        c_solve = eig_rescale(d_inv)  # (Hu + lam I)^{-1} X
 
         def c_mul(x):
             """(Hu + lam I) x for x (K, B) — used by the refinement."""
@@ -394,16 +418,7 @@ class _LanesProblem:
             # squares cond(T) into the f32 entries; measured O(1)-wrong
             # double-pole steps). C^{-1/2} rides the same static
             # eigenbasis as c_solve.
-            dh_inv = jnp.sqrt(d_inv)
-
-            def chalf_solve(X):
-                """C^{-1/2} X for stacked rows X (R, K, B)."""
-                R_ = X.shape[0]
-                X2 = jnp.transpose(X, (1, 0, 2)).reshape(K, R_ * B)
-                Y = (Q.T @ X2).reshape(K, R_, B) * dh_inv[:, None, :]
-                Zr = (Q @ Y.reshape(K, R_ * B)).reshape(K, R_, B)
-                return jnp.transpose(Zr, (1, 0, 2))
-
+            chalf_solve = eig_rescale(jnp.sqrt(d_inv))  # C^{-1/2} X
             G = chalf_solve(A_all)  # (n_all, K, B)
             T = jnp.concatenate([
                 jnp.transpose(G, (1, 0, 2)),  # (K, n_all, B)
@@ -531,9 +546,7 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
     ).reshape(n_ls * B)
 
     def rep_trials(arr):
-        return jnp.broadcast_to(
-            arr[..., None, :], arr.shape[:-1] + (n_ls, B)
-        ).reshape(arr.shape[:-1] + (n_ls * B,))
+        return _fold_lanes(arr, n_ls, B)  # same fold as problem.tiled()
 
     def iteration(carry, _):
         Z, lam, mu, merit_prev, done, term, fo_carry = carry
@@ -800,16 +813,17 @@ def simulator_step_lanes(
     u,
     f_base=None,
     f_mass=None,
-    model=None,
+    model=SINGLE_CARTPOLE,
     internal_dt: float = 1.0e-3,
 ):
     """Plant substep integration, batch-last: ``x`` (sd, B), ``u`` (B,),
     forces ``(2, B)`` or ``(2,)``. Same 1 kHz fixed-substep arithmetic as
     ``mpc/simulator.py`` (``simulator.cc:17-23``)."""
-    n_full = int(dt / internal_dt)
-    remainder = dt - n_full * internal_dt
+    from ..ops.integrate import split_substeps
+
+    n_full, remainder = split_substeps(dt, internal_dt)
     hs = [internal_dt] * n_full
-    if remainder > 1e-12:
+    if remainder:
         hs.append(remainder)
 
     if f_base is None and f_mass is None and model.dynamics_core is not None:
@@ -828,7 +842,7 @@ def simulator_step_lanes(
                 fr, rows, jnp.broadcast_to(u, (n_full,) + u.shape),
                 internal_dt, model.angle_indices,
             )
-        if remainder > 1e-12:
+        if remainder:
             rows = rk4_step_rows(fr, rows, u, remainder)
             rows = wrap_angles_rows(rows, model.angle_indices)
         return jnp.stack(rows)

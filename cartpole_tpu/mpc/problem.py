@@ -523,6 +523,16 @@ class MPCProblemSpec:
         _D_diag = np.concatenate(
             [1.0 / _w_costs**2, np.full(n_t, 1.0e-12)]
         )
+        if not np.any(self._J_cost_u):
+            # C = Hu + lam I is only unconditionally SPD because the static
+            # u-cost rows are nonzero; with both u weights at 0 the lam=0
+            # solve is singular and a failed step is terminal
+            # (QP_INDEFINITE), so reject the configuration at build time.
+            raise ValueError(
+                "kkt_method='condensed' requires a nonzero u-cost Gram: "
+                "set u_cost_weight or u_derivative_cost_weight > 0, or "
+                "use kkt_method='lu'/'schur'"
+            )
         _Hu_static = np.asarray(self._J_cost_u).T @ np.asarray(
             self._J_cost_u
         )

@@ -173,6 +173,19 @@ def rollout(
     return jax.lax.scan(step, x0, us)
 
 
+def split_substeps(dt: float, internal_dt: float = 1.0e-3):
+    """Static substep schedule for the plant integrator: ``(n_full,
+    remainder)`` such that ``dt = n_full * internal_dt + remainder`` with
+    ``remainder`` dropped below 1e-12 (``simulator.cc:17-23`` arithmetic).
+    Shared by every plant-stepping path so the vmapped and lanes
+    simulators can never disagree on the schedule."""
+    n_full = int(dt / internal_dt)
+    remainder = dt - n_full * internal_dt
+    if remainder <= 1e-12:
+        remainder = 0.0
+    return n_full, remainder
+
+
 def substep_rollout(
     f: Callable,
     x0,
@@ -188,10 +201,9 @@ def substep_rollout(
     ``dt`` is not a multiple (reference: ``min(dt, internal_dt)`` with a
     decreasing remainder — identical arithmetic). ``dt`` must be static.
     """
-    n_full = int(dt / internal_dt)
-    remainder = dt - n_full * internal_dt
+    n_full, remainder = split_substeps(dt, internal_dt)
     substep_hs = [internal_dt] * n_full
-    if remainder > 1e-12:
+    if remainder:
         substep_hs.append(remainder)
 
     if len(set(substep_hs)) == 1:

@@ -205,7 +205,10 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
     dtype = jnp.asarray(z0).dtype
     dim = z0.shape[-1]
 
-    r0, J0, c0, A0 = problem.linearize(z0)
+    # Shape probe only: evaluate is a plain rollout, far cheaper to trace
+    # than linearize's jacfwd assembly (which the condensed path never
+    # uses — tracing it here would just inflate the jaxpr for DCE).
+    _, c0 = problem.evaluate(z0)
     n_eq = 0 if c0 is None else c0.shape[-1]
     has_eq = n_eq > 0
 
@@ -332,7 +335,17 @@ def _solve_nls_impl(problem: NLSProblem, z0, config: NLSConfig):
         else:
             g = J.T @ r
             H = J.T @ J + lam * jnp.eye(dim, dtype=dtype)
-            dz = jnp.linalg.solve(H, -g)
+            # Same multiple-of-16 padding as the constrained paths: the
+            # batched LU custom call overflows scoped VMEM at awkward
+            # sizes (here total == dim since n_eq == 0).
+            if kkt_pad:
+                H_p = (
+                    jnp.pad(H, ((0, kkt_pad), (0, kkt_pad)))
+                    + _pad_eye.astype(dtype)
+                )
+                dz = jnp.linalg.solve(H_p, jnp.pad(-g, (0, kkt_pad)))[:dim]
+            else:
+                dz = jnp.linalg.solve(H, -g)
             nu = jnp.zeros((0,), dtype=dtype)
         ok = jnp.all(jnp.isfinite(dz)) & jnp.all(jnp.isfinite(nu))
         return dz, nu, ok

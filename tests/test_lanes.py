@@ -376,3 +376,33 @@ class TestRolloutUnroll:
         np.testing.assert_allclose(
             np.asarray(Ju1), np.asarray(JuT), rtol=1e-14, atol=1e-15
         )
+
+
+class TestCondensedGuards:
+    def test_zero_u_weights_rejected_at_build(self):
+        """Both u weights zero -> the condensed core is singular and a
+        failed step is terminal (QP_INDEFINITE); reject at build time."""
+        import pytest
+
+        from cartpole_tpu import OptimizationParams, default_single_params, make_mpc
+        from cartpole_tpu.mpc.lanes import step_lanes
+        from cartpole_tpu.mpc.controller import MPCState
+
+        params = OptimizationParams(
+            max_iterations=2, u_cost_weight=0.0,
+            u_derivative_cost_weight=0.0, kkt_method="condensed",
+        )
+        mpc = make_mpc(params)
+        dp = default_single_params(jnp.float64)
+        x = jnp.zeros((4, 2), jnp.float64)
+        st = MPCState(
+            previous_solution=jnp.zeros((2, mpc.spec.dim), jnp.float64),
+            warm=jnp.zeros((2,), bool),
+        )
+        with pytest.raises(ValueError, match="u-cost Gram"):
+            step_lanes(mpc, st, x.T, dp, 0.0)
+
+        x1 = jnp.zeros((4,), jnp.float64)
+        st1 = mpc.init_state(jnp.float64)
+        with pytest.raises(ValueError, match="u-cost Gram"):
+            mpc.step(st1, x1, dp, 0.0)

@@ -148,3 +148,23 @@ class TestBatchingAndDiagnostics:
         z, _ = run(a)
         z_expected = a - (jnp.sum(a) - 1.0) / 3.0
         np.testing.assert_allclose(np.asarray(z), np.asarray(z_expected), atol=1e-8)
+
+
+class TestKKTPadding:
+    def test_unconstrained_awkward_dim_padded_solve_exact(self):
+        """dim=83 is one of the v5e batched-LU VMEM-bug sizes; the
+        unconstrained branch must go through the same multiple-of-16
+        padding as the constrained paths and still solve exactly."""
+        dim = 83
+        rng = np.random.default_rng(2)
+        A = jnp.asarray(rng.normal(size=(dim + 7, dim)))
+        b = jnp.asarray(rng.normal(size=(dim + 7,)))
+        problem = _make_problem(lambda z: A @ z - b)
+        z, out = solve_nls(
+            problem, jnp.zeros(dim), NLSConfig(max_iterations=5)
+        )
+        z_expected = jnp.linalg.lstsq(A, b)[0]
+        np.testing.assert_allclose(
+            np.asarray(z), np.asarray(z_expected), atol=1e-9
+        )
+        assert bool(np.all(np.isfinite(np.asarray(z))))
