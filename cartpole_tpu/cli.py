@@ -187,7 +187,7 @@ def _cmd_web(args) -> int:
         )
     mpc, dynamics_params, x0, dtype = _setup(args)
     from .interactive import InteractiveLoop
-    from .web import WebApp
+    from .web import serve
 
     loop = InteractiveLoop(
         params=mpc.params, dynamics_params=dynamics_params, dtype=dtype,
@@ -195,18 +195,7 @@ def _cmd_web(args) -> int:
     )
     loop.x = jnp.asarray(x0, dtype)
     loop.set_point = args.set_point
-    app = WebApp(loop=loop)
-    host, port = app.start(args.host, args.port)
-    print(f"cartpole_tpu web demo at http://{host}:{port}/ (ctrl-c to stop)")
-    try:
-        import time as _time
-
-        while True:
-            _time.sleep(1.0)
-    except KeyboardInterrupt:
-        pass
-    finally:
-        app.stop()
+    serve(args.host, args.port, loop=loop)
     return 0
 
 

@@ -45,6 +45,7 @@ __all__ = [
     "rk4_step_with_jac_rows",
     "rollout_rows",
     "segment_rollout_with_jac_rows",
+    "segment_rollout_with_jac_scan",
     "wrap_angles_rows",
 ]
 

@@ -33,25 +33,34 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    auto: bool = False,
 ) -> None:
     """Join a multi-host run (no-op for single-process).
 
     Thin wrapper over ``jax.distributed.initialize`` so launchers have one
-    entry point; on Cloud TPU the arguments are auto-detected from the
-    environment and may all be ``None``.
+    entry point. Multi-host is OPT-IN: pass explicit arguments, set a
+    coordinator env var (``JAX_COORDINATOR_ADDRESS``/``COORDINATOR_ADDRESS``),
+    or pass ``auto=True`` to let JAX auto-detect from the Cloud TPU pod
+    environment. With no opt-in signal this returns without initializing —
+    deliberately, because the single-chip tunnel environments set pod-like
+    variables (``TPU_WORKER_HOSTNAMES``) that auto-detection would trip
+    over. A pod launcher MUST therefore pass ``auto=True`` or explicit
+    coordinates (``scripts/launch_multihost.py`` does); otherwise each host
+    runs as an independent job and "global" psum diagnostics silently cover
+    only local scenarios.
     """
     import os
 
     if num_processes is not None and num_processes <= 1:
         return
     if (
-        coordinator_address is None
+        not auto
+        and coordinator_address is None
         and num_processes is None
         and "JAX_COORDINATOR_ADDRESS" not in os.environ
         and "COORDINATOR_ADDRESS" not in os.environ
     ):
-        # No multi-host request: run single-process. (Deliberately does not
-        # sniff TPU_WORKER_HOSTNAMES — single-chip tunnels set it too.)
+        # No multi-host opt-in: run single-process.
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

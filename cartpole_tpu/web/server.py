@@ -56,6 +56,21 @@ __all__ = ["WebApp", "serve"]
 PLOT_RING_WINDOWS = 8
 
 
+def _json_finite(obj):
+    """Map non-finite floats to ``null`` recursively. ``json.dumps``'s
+    default emits bare ``NaN``/``Infinity`` tokens, which are invalid JSON
+    — the browser's ``response.json()`` would throw on every poll once a
+    diverged solve puts a NaN in the snapshot. (The reference's nlohmann
+    serializer also dumps non-finite as ``null``.)"""
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _json_finite(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_finite(v) for v in obj]
+    return obj
+
+
 def _mass_locations(x, lengths):
     """Metric positions of [base, link-1 tip, (link-2 tip)] — the pokeable
     masses (``utils.ts::massLocationsFromState`` semantics)."""
@@ -101,6 +116,7 @@ class WebApp:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._httpd: Optional[ThreadingHTTPServer] = None
+        self._tick_error: Optional[str] = None
 
     # ----------------------------------------------------------------- ticks
     def tick(self) -> None:
@@ -144,7 +160,19 @@ class WebApp:
                 gap = 0.0  # paused/backgrounded: drop time, don't catch up
             accum += gap * self.loop.sim_rate
             while accum >= dt and not self._stop.is_set():
-                self.tick()
+                try:
+                    self.tick()
+                except Exception as e:  # noqa: BLE001 - surface, don't die
+                    # A dead tick thread looks like a silent freeze (the
+                    # client keeps polling the last snapshot). Record the
+                    # error for /state and back off; a transient device
+                    # fault recovers, a persistent one stays visible.
+                    self._tick_error = f"{type(e).__name__}: {e}"
+                    accum = 0.0
+                    time.sleep(1.0)
+                    break
+                else:
+                    self._tick_error = None
                 accum -= dt
             time.sleep(0.005)
 
@@ -181,6 +209,7 @@ class WebApp:
                 "dynamics": dp,
                 "optimization": json.loads(lp.params.to_json()),
                 "tracing": tracing.is_tracing_enabled(),
+                "error": self._tick_error,
             }
 
     # ------------------------------------------------------------- mutations
@@ -232,6 +261,7 @@ class WebApp:
     def start(self, host: str = "127.0.0.1", port: int = 8080):
         """Bind the HTTP server and (in realtime mode) start the tick
         thread. Returns the bound ``(host, port)``."""
+        self._stop.clear()  # support stop()/start() cycles
         self._httpd = ThreadingHTTPServer((host, port), _make_handler(self))
         self._httpd.daemon_threads = True
         if self._realtime:
@@ -272,7 +302,7 @@ def _make_handler(app: WebApp):
         def _json(self, code: int, payload) -> None:
             self._send(
                 code,
-                json.dumps(payload).encode(),
+                json.dumps(_json_finite(payload)).encode(),
                 "application/json; charset=utf-8",
             )
 
@@ -286,8 +316,8 @@ def _make_handler(app: WebApp):
                 self._json(200, app.snapshot())
             elif path == "/log":
                 with app._lock:
-                    body = app.loop.log.to_json().encode()
-                self._send(200, body, "application/json; charset=utf-8")
+                    entries = json.loads(app.loop.log.to_json())
+                self._json(200, entries)
             elif path == "/traces":
                 body = tracing.get_trace_json().encode()
                 self._send(200, body, "application/json; charset=utf-8")
@@ -334,11 +364,15 @@ def _make_handler(app: WebApp):
     return Handler
 
 
-def serve(host: str = "127.0.0.1", port: int = 8080, **loop_kwargs) -> None:
-    """Blocking entry point (the CLI's ``web`` subcommand)."""
-    app = WebApp(**loop_kwargs)
+def serve(host: str = "127.0.0.1", port: int = 8080, loop=None,
+          **loop_kwargs) -> None:
+    """Blocking entry point: serve until interrupted, then stop cleanly.
+    Pass a prebuilt ``loop`` (the CLI does) or kwargs for a fresh
+    :class:`~cartpole_tpu.interactive.InteractiveLoop`."""
+    app = WebApp(loop=loop, **loop_kwargs)
     bound_host, bound_port = app.start(host, port)
-    print(f"cartpole_tpu web demo at http://{bound_host}:{bound_port}/")
+    print(f"cartpole_tpu web demo at http://{bound_host}:{bound_port}/ "
+          f"(ctrl-c to stop)")
     try:
         while True:
             time.sleep(1.0)

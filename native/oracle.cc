@@ -515,6 +515,16 @@ class MPCOracle {
 
     std::vector<double> Jc;
     cost_jacobian(Jc);
+    // The cost Jacobian is constant (all cost rows are linear in z), so
+    // its Gram matrix J^T J is hoisted out of the iteration loop.
+    std::vector<double> JtJ(static_cast<size_t>(dim_) * dim_, 0.0);
+    for (int i = 0; i < dim_; ++i)
+      for (int j = 0; j < dim_; ++j) {
+        double h = 0;
+        for (int q = 0; q < n_costs_; ++q)
+          h += Jc[q * dim_ + i] * Jc[q * dim_ + j];
+        JtJ[static_cast<size_t>(i) * dim_ + j] = h;
+      }
 
     const int n_kkt = dim_ + n_eq_;
     int applied = 0;
@@ -530,13 +540,11 @@ class MPCOracle {
       // KKT: [[J^T J + lam I, A^T], [A, -delta I]] [dz; nu] = [-J^T r; -c].
       std::vector<double> kkt(static_cast<size_t>(n_kkt) * n_kkt, 0.0);
       std::vector<double> rhs(n_kkt, 0.0);
+      std::vector<double> g(dim_, 0.0);
       for (int i = 0; i < dim_; ++i)
-        for (int j = 0; j < dim_; ++j) {
-          double h = 0;
-          for (int q = 0; q < n_costs_; ++q)
-            h += Jc[q * dim_ + i] * Jc[q * dim_ + j];
-          kkt[i * n_kkt + j] = h + (i == j ? lam : 0.0);
-        }
+        for (int j = 0; j < dim_; ++j)
+          kkt[i * n_kkt + j] =
+              JtJ[static_cast<size_t>(i) * dim_ + j] + (i == j ? lam : 0.0);
       for (int e = 0; e < n_eq_; ++e)
         for (int j = 0; j < dim_; ++j) {
           kkt[(dim_ + e) * n_kkt + j] = A[e * dim_ + j];
@@ -545,9 +553,8 @@ class MPCOracle {
       for (int e = 0; e < n_eq_; ++e)
         kkt[(dim_ + e) * n_kkt + dim_ + e] = -1e-10;
       for (int i = 0; i < dim_; ++i) {
-        double g = 0;
-        for (int q = 0; q < n_costs_; ++q) g += Jc[q * dim_ + i] * r[q];
-        rhs[i] = -g;
+        for (int q = 0; q < n_costs_; ++q) g[i] += Jc[q * dim_ + i] * r[q];
+        rhs[i] = -g[i];
       }
       for (int e = 0; e < n_eq_; ++e) rhs[dim_ + e] = -c[e];
 
@@ -557,15 +564,23 @@ class MPCOracle {
       for (int e = 0; e < n_eq_; ++e)
         nu_inf = std::max(nu_inf, std::fabs(rhs[dim_ + e]));
 
+      // First-order optimality at the current linearization:
+      // ||J^T r + A^T nu||_inf (same semantics as ops/solver.py:432-433,
+      // which also evaluates it pre-step and freezes from the NEXT
+      // iteration).
+      double first_order = 0;
+      for (int i = 0; i < dim_; ++i) {
+        double gl = g[i];
+        for (int e = 0; e < n_eq_; ++e)
+          gl += A[e * dim_ + i] * rhs[dim_ + e];
+        first_order = std::max(first_order, std::fabs(gl));
+      }
+
       const double mu_new = std::max(mu, 2.0 * nu_inf);
       const double phi0 = cost + mu_new * l1(c);
       // Directional derivative bound: (J^T r).dz - mu*||c||_1.
       double jr_dz = 0;
-      for (int i = 0; i < dim_; ++i) {
-        double g = 0;
-        for (int q = 0; q < n_costs_; ++q) g += Jc[q * dim_ + i] * r[q];
-        jr_dz += g * dz[i];
-      }
+      for (int i = 0; i < dim_; ++i) jr_dz += g[i] * dz[i];
       const double dphi = jr_dz - mu_new * l1(c);
 
       bool accepted = false;
@@ -608,6 +623,7 @@ class MPCOracle {
           std::max(std::fabs(merit_prev), 1e-30);
       merit_prev = phi_new;
       if (accepted && rel < opt_.relative_exit_tol) break;
+      if (first_order < opt_.absolute_first_derivative_tol) break;
       if (lam > 1e6) break;
     }
     return applied;

@@ -29,6 +29,10 @@ def main(argv=None):
                     help="coordinator address host:port (auto on Cloud TPU)")
     ap.add_argument("--num-processes", type=int, default=None)
     ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--auto", action="store_true",
+                    help="let jax.distributed auto-detect the pod "
+                    "environment (Cloud TPU) instead of explicit "
+                    "coordinator/process arguments")
     ap.add_argument("--batch", type=int, default=8192,
                     help="GLOBAL scenario count (divisible by #devices)")
     ap.add_argument("--steps", type=int, default=100)
@@ -42,6 +46,7 @@ def main(argv=None):
         coordinator_address=args.coordinator,
         num_processes=args.num_processes,
         process_id=args.process_id,
+        auto=args.auto,
     )
 
     import jax
