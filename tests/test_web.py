@@ -286,3 +286,40 @@ def test_leak_endpoint(served):
     assert status == 200
     assert {"count", "nbytes", "by_shape"} <= set(report)
     assert report["nbytes"] > 0  # the loop's warm-start state is live
+
+
+def test_tick_thread_error_surfaces_in_state():
+    """A raising tick must not silently kill the realtime thread: the
+    error shows up in the snapshot and the thread stays alive."""
+    import time
+
+    loop = InteractiveLoop(
+        params=OptimizationParams(max_iterations=2, state_spacing=10),
+        render=False,
+    )
+    app = WebApp(loop=loop, realtime=True)
+    boom = RuntimeError("injected tick failure")
+    original_tick = loop.tick
+
+    def failing_tick():
+        raise boom
+
+    app.start("127.0.0.1", 0)
+    try:
+        deadline = time.time() + 10.0
+        while loop.tick_count == 0 and time.time() < deadline:
+            time.sleep(0.05)
+        assert loop.tick_count > 0  # thread is ticking
+        loop.tick = failing_tick
+        deadline = time.time() + 10.0
+        while app.snapshot()["error"] is None and time.time() < deadline:
+            time.sleep(0.05)
+        assert "injected tick failure" in app.snapshot()["error"]
+        # Recovery: restore the tick, the thread resumes and clears it.
+        loop.tick = original_tick
+        deadline = time.time() + 15.0
+        while app.snapshot()["error"] is not None and time.time() < deadline:
+            time.sleep(0.1)
+        assert app.snapshot()["error"] is None
+    finally:
+        app.stop()
