@@ -52,10 +52,22 @@ def _setup(args):
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     model = get_model(args.model)
+    if args.model == "double" and "window_length" not in json.loads(args.params):
+        # The 0.4 s default window leaves the double pole on the edge of
+        # its region of attraction (tests/test_double_mpc.py) — applied to
+        # EVERY subcommand so closed-loop/sweep match interactive/web.
+        args.params = json.dumps(
+            {**json.loads(args.params), "window_length": 60}
+        )
     params = OptimizationParams.from_json(args.params)
-    dyn_overrides = json.loads(args.dynamics)
+    # from_json validates field names (a typo'd --dynamics key gets the
+    # designed error listing the known fields, not a raw TypeError).
+    dyn_defaults = json.loads(model.params_type().to_json())
     dynamics_params = jax.tree.map(
-        lambda v: jnp.asarray(v, dtype), model.params_type(**dyn_overrides)
+        lambda v: jnp.asarray(v, dtype),
+        model.params_type.from_json(
+            json.dumps({**dyn_defaults, **json.loads(args.dynamics)})
+        ),
     )
     if args.x0 is not None:
         x0 = jnp.asarray(json.loads(args.x0), dtype)
@@ -124,10 +136,12 @@ def _cmd_closed_loop(args) -> int:
     print(json.dumps(summary, indent=2))
 
     if args.log_json:
+        states = np.asarray(res.states)
+        controls = np.asarray(res.controls)
         entries = [
             {
-                "state": [float(v) for v in np.asarray(res.states)[t]],
-                "u": float(np.asarray(res.controls)[t]),
+                "state": [float(v) for v in states[t]],
+                "u": float(controls[t]),
                 "termination_state": termination_state_name(int(term[t])),
             }
             for t in range(args.steps)
@@ -139,7 +153,9 @@ def _cmd_closed_loop(args) -> int:
     if args.plot:
         from .analysis import plot_closed_loop
 
-        plot_closed_loop(res, save_to=args.plot)
+        plot_closed_loop(
+            res, control_dt=mpc.params.control_dt, save_to=args.plot
+        )
         print(f"wrote {args.plot}")
     return 0
 
@@ -147,12 +163,6 @@ def _cmd_closed_loop(args) -> int:
 def _cmd_interactive(args) -> int:
     import jax.numpy as jnp
 
-    if args.model == "double" and "window_length" not in json.loads(args.params):
-        # The 0.4 s default window leaves the double pole on the edge of
-        # its region of attraction (tests/test_double_mpc.py).
-        args.params = json.dumps(
-            {**json.loads(args.params), "window_length": 60}
-        )
     mpc, dynamics_params, x0, dtype = _setup(args)
     from .interactive import InteractiveLoop
 
@@ -161,6 +171,7 @@ def _cmd_interactive(args) -> int:
         model=mpc.model,
     )
     loop.x = jnp.asarray(x0, dtype)
+    loop.set_point = args.set_point
     import sys as _sys
 
     if not _sys.stdin.isatty():
@@ -181,10 +192,6 @@ def _cmd_interactive(args) -> int:
 def _cmd_web(args) -> int:
     import jax.numpy as jnp
 
-    if args.model == "double" and "window_length" not in json.loads(args.params):
-        args.params = json.dumps(
-            {**json.loads(args.params), "window_length": 60}
-        )
     mpc, dynamics_params, x0, dtype = _setup(args)
     from .interactive import InteractiveLoop
     from .web import serve
@@ -228,7 +235,12 @@ def _cmd_sweep(args) -> int:
     # tunneled-TPU platforms).
     xf = np.asarray(result.final_state)
     wall = time.perf_counter() - t0
-    upright = np.abs(xf[:, mpc.model.angle_indices[0]] - math.pi / 2) < 1e-2
+    # Upright = EVERY pole angle near pi/2 (a double pole with the second
+    # link hanging is not upright).
+    upright = np.all(
+        np.abs(xf[:, list(mpc.model.angle_indices)] - math.pi / 2) < 1e-2,
+        axis=1,
+    )
     print(
         json.dumps(
             {

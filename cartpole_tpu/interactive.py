@@ -272,6 +272,11 @@ class InteractiveLoop:
         per frame (scripted/testing mode); with a real terminal, keys are
         read non-blocking from stdin.
         """
+        if commands is None and not realtime and max_ticks is None:
+            raise ValueError(
+                "run(realtime=False) with no max_ticks and no commands "
+                "would loop forever with no way to deliver 'q'"
+            )
         commands = iter(commands) if commands is not None else None
         reader = None
         if commands is None and realtime and sys.stdin.isatty():

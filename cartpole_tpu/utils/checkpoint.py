@@ -43,12 +43,19 @@ def _leaf_key(path) -> str:
     return _SEP.join(parts) if parts else "_root"
 
 
+def _npz_path(path: str) -> str:
+    # np.savez silently appends .npz to extensionless paths; normalize on
+    # both save and load so the round trip works for any path string.
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_state(path: str, tree: Any) -> None:
     """Persist a PyTree of arrays to ``.npz``, keyed by tree path.
 
     Sharded arrays are gathered to host; callers on multi-host meshes should
     save per-process shards or use orbax for async distributed checkpoints.
     """
+    path = _npz_path(path)
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
     payload = {}
     for p, leaf in leaves:
@@ -62,7 +69,7 @@ def save_state(path: str, tree: Any) -> None:
 def load_state(path: str, like: Any) -> Any:
     """Restore a PyTree saved by :func:`save_state` into the structure (and
     dtypes/shardings left to the caller) of ``like``."""
-    with np.load(path) as data:
+    with np.load(_npz_path(path)) as data:
         paths_and_leaves, treedef = jax.tree_util.tree_flatten_with_path(like)
         leaves = []
         for p, ref_leaf in paths_and_leaves:

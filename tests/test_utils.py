@@ -250,3 +250,13 @@ class TestOrbaxCheckpoint:
             np.asarray(restored.previous_solution),
             np.asarray(state.previous_solution),
         )
+
+
+def test_checkpoint_extensionless_path_round_trips(tmp_path):
+    from cartpole_tpu.utils import load_state, save_state
+
+    tree = {"a": np.arange(6.0), "b": np.ones((2, 3))}
+    path = str(tmp_path / "ckpt")  # no .npz: np.savez appends it
+    save_state(path, tree)
+    restored = load_state(path, tree)
+    np.testing.assert_array_equal(restored["a"], tree["a"])
