@@ -12,7 +12,7 @@ PY ?= python
 help:
 	@echo "targets: test test-slow lint bench bench-sweep codegen native clean"
 
-test:            ## full CPU/f64 suite on the 8-virtual-device mesh (~6 min)
+test:            ## full CPU/f64 suite on the 8-virtual-device mesh (~23 min)
 	$(PY) -m pytest tests/ -q
 
 test-slow:       ## adds the slow-marked extras
