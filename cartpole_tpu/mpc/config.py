@@ -82,6 +82,14 @@ class OptimizationParams:
             raise ValueError("max_iterations must be >= 1")
         if self.u_cost_weight < 0 or self.u_derivative_cost_weight < 0:
             raise ValueError("control cost weights must be >= 0")
+        # The retraction clamps with jnp.clip(z, -limit, +limit); a negative
+        # limit would give min > max and silently pin every variable to the
+        # upper bound, so reject it here like the other shape/sign typos.
+        # (Negative-means-equality applies to the *final cost weights* only.)
+        if self.b_x_limit <= 0 or self.u_limit <= 0:
+            raise ValueError("b_x_limit and u_limit must be > 0")
+        if self.max_line_search_iterations < 1:
+            raise ValueError("max_line_search_iterations must be >= 1")
 
     @property
     def num_states(self) -> int:

@@ -18,7 +18,13 @@ import jax.numpy as jnp
 
 from ..models.base import CartPoleModel, SINGLE_CARTPOLE
 from ..ops.integrate import rollout
-from ..ops.solver import NLSConfig, NLSOutputs, NLSProblem, solve_nls
+from ..ops.solver import (
+    NLSConfig,
+    NLSOutputs,
+    NLSProblem,
+    NLSTerminationState,
+    solve_nls,
+)
 from .config import OptimizationParams
 from .problem import MPCProblemSpec
 
@@ -101,8 +107,6 @@ class MPC:
         {QP_INDEFINITE, MAX_LAMBDA} (the health invariant of
         ``optimization_test.cc:44-46``) or a non-finite solution. Feed to
         :meth:`reset_where` to discard poisoned warm starts."""
-        from ..ops.solver import NLSTerminationState
-
         term = outputs.solver.termination_state
         bad = (term == NLSTerminationState.QP_INDEFINITE) | (
             term == NLSTerminationState.MAX_LAMBDA

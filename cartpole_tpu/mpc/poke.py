@@ -93,6 +93,11 @@ def make_poke_schedule(
     for tick, mass_index, angle in pokes:
         if not 0 <= mass_index <= 1:
             raise ValueError(f"mass_index must be 0 or 1, got {mass_index}")
+        if not 0 <= int(tick) < num_steps:
+            raise ValueError(
+                f"poke tick {tick} outside [0, {num_steps}) — it would be "
+                "silently dropped from the schedule"
+            )
         by_tick.setdefault(int(tick), []).append((mass_index, angle))
 
     forces = np.zeros((2, 2))

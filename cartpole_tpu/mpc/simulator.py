@@ -80,10 +80,27 @@ class Simulator:
     def set_state(self, x):
         self._state = jnp.asarray(x, self._state.dtype)
 
-    def step(self, dynamics_params, dt: float, u, f_base=None, f_mass=None):
+    def step(
+        self,
+        dynamics_params,
+        dt: float,
+        u,
+        f_base=None,
+        f_mass=None,
+        f_mass_2=None,
+        internal_dt: float = DEFAULT_INTERNAL_DT,
+    ):
         if not bool(jnp.all(jnp.isfinite(jnp.asarray(u)))):
             raise ValueError(f"u = {u} is not finite")  # simulator.cc:14
         self._state = simulator_step(
-            dynamics_params, self._state, dt, u, f_base, f_mass, self.model
+            dynamics_params,
+            self._state,
+            dt,
+            u,
+            f_base,
+            f_mass,
+            self.model,
+            internal_dt,
+            f_mass_2,
         )
         return self._state

@@ -24,6 +24,7 @@ __all__ = [
     "rk4_step_with_jac",
     "rollout",
     "segment_rollout_with_jac",
+    "split_substeps",
     "substep_rollout",
 ]
 

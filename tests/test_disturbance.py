@@ -60,3 +60,25 @@ class TestDisturbanceRejection:
         np.testing.assert_allclose(
             np.asarray(res_a.controls), np.asarray(res_b.controls), atol=1e-12
         )
+
+
+class TestSimulatorSecondLinkForce:
+    def test_stateful_wrapper_passes_f_mass_2(self):
+        """The stateful ``Simulator`` wrapper must expose the second-link
+        force (``f_mass_2``) that ``simulator_step`` supports for the
+        double-pole model — the interactive driver pokes that mass."""
+        from cartpole_tpu import DOUBLE_CARTPOLE, DoubleCartPoleParams
+        from cartpole_tpu.mpc.simulator import Simulator, simulator_step
+
+        dp = DoubleCartPoleParams()
+        sim_a = Simulator(model=DOUBLE_CARTPOLE)
+        sim_b = Simulator(model=DOUBLE_CARTPOLE)
+        x0 = sim_a.get_state()
+        xa = sim_a.step(dp, 0.01, 0.0, f_mass_2=jnp.array([5.0, 0.0]))
+        xb = sim_b.step(dp, 0.01, 0.0)
+        assert not np.allclose(np.asarray(xa), np.asarray(xb))
+        want = simulator_step(
+            dp, x0, 0.01, 0.0, None, None, DOUBLE_CARTPOLE,
+            f_mass_2=jnp.array([5.0, 0.0]),
+        )
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(want))

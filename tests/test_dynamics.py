@@ -95,6 +95,18 @@ class TestSingleJacobians:
         g = jax.grad(lambda x_: f(x_)[2])(x)
         assert bool(jnp.all(jnp.isfinite(g)))
 
+    def test_generated_drag_gradient_safe_at_zero_velocity(self):
+        """Same guard on the machine-generated path: CSE hoists the drag
+        sqrt out of its Piecewise guard, so the emitter must clamp the
+        sqrt argument (safe-sqrt idiom) or AD through the gen module NaNs
+        at the standard hang state where |v_1| = 0."""
+        from cartpole_tpu.models._single_gen import single_dynamics
+
+        pt = tuple(FULL_PARAMS.as_dict().values())
+        x = jnp.array([0.0, -math.pi / 2, 0.0, 0.0])
+        J = jax.jacfwd(lambda x_: single_dynamics(pt, x_, 0.0))(x)
+        assert bool(jnp.all(jnp.isfinite(J)))
+
 
 class TestSinglePhysicsInvariants:
     def _integrate(self, params, x0, n, dt=0.01, u=0.0, f_base=None):

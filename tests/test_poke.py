@@ -66,6 +66,17 @@ class TestPokeModel:
         )
         assert np.all(sched[:, 0] == 0.0)  # base never poked
 
+    def test_schedule_rejects_out_of_range_ticks(self):
+        """A tick outside [0, num_steps) would be silently dropped and the
+        run misread as 'controller rejected the poke' — raise instead."""
+        import pytest
+
+        p = SingleCartPoleParams()
+        with pytest.raises(ValueError, match="tick"):
+            make_poke_schedule(10, 0.01, [(10, 1, 0.0)], p)
+        with pytest.raises(ValueError, match="tick"):
+            make_poke_schedule(10, 0.01, [(-1, 1, 0.0)], p)
+
     def test_schedule_drives_closed_loop(self):
         """A scheduled poke perturbs the plant; the controller recovers —
         the flagship 'human pokes, MPC recovers' capability, offline."""

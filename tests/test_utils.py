@@ -144,6 +144,22 @@ class TestParamsJson:
         p = OptimizationParams(window_length=60, state_spacing=5)
         assert OptimizationParams.from_json(p.to_json()) == p
 
+    def test_optimization_params_rejects_bad_limits(self):
+        """A negative clamp limit would flow into jnp.clip(z, -lim, lim)
+        with min > max and silently pin every decision variable to the
+        upper bound — reject at construction like the other typos.
+        (Negative-means-equality applies only to the final cost weights.)"""
+        import pytest
+
+        from cartpole_tpu import OptimizationParams
+
+        with pytest.raises(ValueError, match="u_limit"):
+            OptimizationParams(u_limit=-300.0)
+        with pytest.raises(ValueError, match="b_x_limit"):
+            OptimizationParams(b_x_limit=0.0)
+        with pytest.raises(ValueError, match="line_search"):
+            OptimizationParams(max_line_search_iterations=0)
+
 
 class TestCheckpoint:
     def test_mpc_state_round_trip(self, tmp_path):
