@@ -62,6 +62,12 @@ def initialize_distributed(
     ):
         # No multi-host opt-in: run single-process.
         return
+    if coordinator_address is None:
+        # jax.distributed.initialize only reads JAX_COORDINATOR_ADDRESS;
+        # honor the COORDINATOR_ADDRESS spelling this gate accepts rather
+        # than falling into pod auto-detection (which the tunnel's pod-like
+        # env vars would trip).
+        coordinator_address = os.environ.get("COORDINATOR_ADDRESS")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,

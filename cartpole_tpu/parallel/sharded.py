@@ -77,6 +77,23 @@ def _converged_failed(counts):
     return converged, failed
 
 
+def _reduced_termination(term_flat, iterations, axis_name):
+    """Shared (per-step and closed-loop) reduction of a flat
+    termination-code vector + per-solve iteration counts:
+    ``(counts, converged, failed, n_solves, mean_iterations)``, psum-ed
+    across the mesh when ``axis_name`` is given, local otherwise."""
+    counts = _termination_counts(term_flat)
+    n = jnp.asarray(term_flat.shape[0], jnp.int32)
+    sum_iters = jnp.sum(iterations.astype(jnp.float32))
+    if axis_name is not None:
+        counts = jax.lax.psum(counts, axis_name)
+        n = jax.lax.psum(n, axis_name)
+        sum_iters = jax.lax.psum(sum_iters, axis_name)
+    converged, failed = _converged_failed(counts)
+    mean_iters = sum_iters / jnp.maximum(n.astype(jnp.float32), 1.0)
+    return counts, converged, failed, n, mean_iters
+
+
 def reduce_diagnostics(
     solver: NLSOutputs,
     axis_name: Optional[str] = None,
@@ -88,28 +105,20 @@ def reduce_diagnostics(
     local reduction. Max-reductions go through :func:`_pmax_via_psum` so
     only Sum all-reduces are required of the runtime.
     """
-    term = solver.termination_state.reshape(-1)
-    counts = _termination_counts(term)
-    converged, failed = _converged_failed(counts)
-    n = jnp.asarray(term.shape[0], jnp.int32)
+    if axis_name is not None and axis_size is None:
+        raise ValueError("axis_size is required with axis_name")
+    counts, converged, failed, n, mean_iters = _reduced_termination(
+        solver.termination_state.reshape(-1), solver.n_iterations, axis_name
+    )
     max_viol = jnp.max(solver.constraint_violation)
     max_first = jnp.max(solver.first_order_norm)
-    sum_iters = jnp.sum(solver.n_iterations.astype(jnp.float32))
     sum_cost = jnp.sum(solver.cost.astype(jnp.float32))
 
     if axis_name is not None:
-        if axis_size is None:
-            raise ValueError("axis_size is required with axis_name")
-        n = jax.lax.psum(n, axis_name)
-        counts = jax.lax.psum(counts, axis_name)
-        converged = jax.lax.psum(converged, axis_name)
-        failed = jax.lax.psum(failed, axis_name)
         max_viol = _pmax_via_psum(max_viol, axis_name, axis_size)
         max_first = _pmax_via_psum(max_first, axis_name, axis_size)
-        sum_iters = jax.lax.psum(sum_iters, axis_name)
         sum_cost = jax.lax.psum(sum_cost, axis_name)
 
-    denom = jnp.maximum(n.astype(jnp.float32), 1.0)
     return BatchDiagnostics(
         n_instances=n,
         n_converged=converged,
@@ -117,8 +126,8 @@ def reduce_diagnostics(
         termination_counts=counts,
         max_violation=max_viol,
         max_first_order=max_first,
-        mean_iterations=sum_iters / denom,
-        mean_cost=sum_cost / denom,
+        mean_iterations=mean_iters,
+        mean_cost=sum_cost / jnp.maximum(n.astype(jnp.float32), 1.0),
     )
 
 
@@ -217,12 +226,10 @@ def make_sharded_closed_loop(
 
     def local_run(x0s, dynamics_params, set_points):
         result = batched(x0s, dynamics_params, set_points)
-        term = result.termination_states.reshape(-1)  # instances * ticks
-        counts = jax.lax.psum(_termination_counts(term), axis_name)
-        converged, failed = _converged_failed(counts)
-        n_solves = jax.lax.psum(jnp.asarray(term.shape[0], jnp.int32), axis_name)
-        sum_iters = jax.lax.psum(
-            jnp.sum(result.solver_iterations.astype(jnp.float32)), axis_name
+        counts, converged, failed, _, mean_iters = _reduced_termination(
+            result.termination_states.reshape(-1),  # instances * ticks
+            result.solver_iterations,
+            axis_name,
         )
         diag = BatchDiagnostics(
             n_instances=jax.lax.psum(
@@ -235,8 +242,7 @@ def make_sharded_closed_loop(
                 jnp.max(result.constraint_violations), axis_name, axis_size
             ),
             max_first_order=jnp.asarray(jnp.nan),  # not tracked per tick
-            mean_iterations=sum_iters
-            / jnp.maximum(n_solves.astype(jnp.float32), 1.0),
+            mean_iterations=mean_iters,
             mean_cost=jnp.asarray(jnp.nan),  # not tracked per tick
         )
         return result, diag

@@ -125,7 +125,7 @@ def assert_all_finite(tree: Any, name: str = "tree") -> None:
         )
 
 
-def leak_check(baseline: int = 0) -> dict:
+def leak_check(baseline=None) -> dict:
     """Report live device arrays — the ``doLeakCheck`` analog.
 
     The reference exports ``__lsan_do_recoverable_leak_check`` to the
@@ -134,8 +134,11 @@ def leak_check(baseline: int = 0) -> dict:
     of "leaked objects" is device buffers kept alive by stray references
     (a logging list holding whole batched outputs, a closure pinning a
     sweep's worth of warm starts). Returns ``{"count", "nbytes",
-    "by_shape"}`` for all live committed arrays beyond ``baseline`` count;
-    call once after setup to get a baseline, again after a work loop to
+    "by_shape"}`` for live committed arrays. ``baseline`` may be a
+    previous ``leak_check()`` report (count, nbytes, AND per-shape counts
+    are all reported as deltas beyond it — a leak-free loop after a heavy
+    setup reads as zeros) or a bare int (legacy: count delta only).
+    Call once after setup to get the baseline, again after a work loop to
     see what accumulated.
     """
     arrs = [a for a in jax.live_arrays() if not a.is_deleted()]
@@ -143,9 +146,19 @@ def leak_check(baseline: int = 0) -> dict:
     for a in arrs:
         key = f"{a.dtype}{list(a.shape)}"
         by_shape[key] = by_shape.get(key, 0) + 1
+    nbytes = int(sum(a.nbytes for a in arrs))
+    count = len(arrs)
+    if isinstance(baseline, dict):
+        count -= baseline.get("count", 0)
+        nbytes -= baseline.get("nbytes", 0)
+        for key, n in baseline.get("by_shape", {}).items():
+            by_shape[key] = by_shape.get(key, 0) - n
+        by_shape = {k: v for k, v in by_shape.items() if v > 0}
+    elif baseline:
+        count -= int(baseline)
     return {
-        "count": max(0, len(arrs) - baseline),
-        "nbytes": int(sum(a.nbytes for a in arrs)),
+        "count": max(0, count),
+        "nbytes": max(0, nbytes),
         "by_shape": dict(
             sorted(by_shape.items(), key=lambda kv: -kv[1])[:20]
         ),

@@ -28,12 +28,22 @@ def _state_dict(x: np.ndarray) -> dict:
         # Reference field order is [b_x, th_1, th_1_dot, b_x_dot] in JSON but
         # the state vector is [b_x, th_1, b_x_dot, th_1_dot] (structs.hpp:44-64).
         return {
-            "b_x": float(x[0]),
-            "th_1": float(x[1]),
-            "th_1_dot": float(x[3]),
-            "b_x_dot": float(x[2]),
+            "b_x": _finite(x[0]),
+            "th_1": _finite(x[1]),
+            "th_1_dot": _finite(x[3]),
+            "b_x_dot": _finite(x[2]),
         }
-    return {"x": [float(v) for v in x]}
+    return {"x": [_finite(v) for v in x]}
+
+
+def _finite(v) -> Optional[float]:
+    """float(v), or None when non-finite: json.dumps would emit literal
+    NaN/Infinity tokens that RFC-compliant parsers (JSON.parse, the consumer
+    of the reference's "Save log" format) reject, poisoning the whole file.
+    Failed solves legitimately produce non-finite cost/first_order_norm
+    (ops/solver.py)."""
+    v = float(np.asarray(v))
+    return v if np.isfinite(v) else None
 
 
 def _solver_dict(solver: NLSOutputs) -> dict:
@@ -46,10 +56,10 @@ def _solver_dict(solver: NLSOutputs) -> dict:
             int(np.asarray(solver.termination_state))
         ),
         "n_iterations": int(np.asarray(solver.n_iterations)),
-        "cost": float(np.asarray(solver.cost)),
-        "constraint_violation": float(np.asarray(solver.constraint_violation)),
-        "first_order_norm": float(np.asarray(solver.first_order_norm)),
-        "lambda": float(np.asarray(solver.lambda_final)),
+        "cost": _finite(solver.cost),
+        "constraint_violation": _finite(solver.constraint_violation),
+        "first_order_norm": _finite(solver.first_order_norm),
+        "lambda": _finite(solver.lambda_final),
         "iterations": {
             "cost": arr(solver.iter_cost),
             "constraint_violation": arr(solver.iter_violation),
@@ -67,10 +77,10 @@ def solve_log_entry(outputs: Any) -> dict:
     return {
         "initial_state": _state_dict(np.asarray(outputs.initial_state)),
         "previous_solution": [
-            float(v) for v in np.asarray(outputs.previous_solution)
+            _finite(v) for v in np.asarray(outputs.previous_solution)
         ],
         "solver_outputs": _solver_dict(outputs.solver),
-        "u": [float(v) for v in np.asarray(outputs.u)],
+        "u": [_finite(v) for v in np.asarray(outputs.u)],
         "predicted_states": [
             _state_dict(s) for s in np.asarray(outputs.predicted_states)
         ],
@@ -129,9 +139,12 @@ class SolveLog:
         """Append entries from a batched ``MPCOutputs`` (leading batch axis)."""
         import jax
 
-        n = np.asarray(outputs.u).shape[0]
+        # Pull each leaf to the host ONCE; indexing per appended entry would
+        # re-transfer the full batched array every iteration (~35 MB/s link).
+        host = jax.tree.map(np.asarray, outputs)
+        n = host.u.shape[0]
         for i in indices if indices is not None else range(n):
-            self.append(jax.tree.map(lambda leaf: np.asarray(leaf)[i], outputs))
+            self.append(jax.tree.map(lambda leaf: leaf[i], host))
 
     def entries(self) -> List[dict]:
         return list(self._buf)

@@ -117,7 +117,13 @@ def draw_frame(
 
     total_len = sum(lengths)
     ax.set_xlim(*x_limits)
-    ax.set_ylim(-0.1, total_len + _CART_H + 2 * _WHEEL_R + 0.15)
+    # The pole pivots at the cart top; a hanging pole (the canonical
+    # swing-up start state) reaches pivot - total_len, so the lower limit
+    # must track the link length or the pole is clipped out of frame.
+    pivot_y = _WHEEL_R + _CART_H
+    ax.set_ylim(
+        min(-0.1, pivot_y - total_len - 0.1), pivot_y + total_len + 0.15
+    )
     ax.set_aspect("equal")
     ax.set_xticks([])
     ax.set_yticks([])
@@ -156,8 +162,12 @@ def animate_closed_loop(
         )
         total_len = sum(lengths)
         span = max(1.2, np.abs(states[:, 0]).max() + total_len + 0.2)
+        pivot_y = _WHEEL_R + _CART_H
         ax.set_xlim(-span, span)
-        ax.set_ylim(-0.15, total_len + 0.3)
+        ax.set_ylim(
+            min(-0.15, pivot_y - total_len - 0.1),
+            pivot_y + total_len + 0.15,
+        )
         ax.set_aspect("equal")
         return []
 

@@ -124,3 +124,23 @@ class TestLeakCheck:
         del keep
         report_after = leak_check(baseline=base["count"])
         assert report_after["nbytes"] < report["nbytes"]
+
+    def test_dict_baseline_subtracts_nbytes_and_shapes(self):
+        """Passing a previous report as the baseline must zero out the
+        setup footprint (count AND nbytes AND per-shape counts), so a
+        leak-free loop after a heavy setup reads as clean."""
+        from cartpole_tpu.utils import leak_check
+
+        keep = [(jnp.zeros((23, 5)) + i).block_until_ready()
+                for i in range(3)]
+        base = leak_check()
+        clean = leak_check(baseline=base)
+        assert clean["count"] == 0
+        assert clean["nbytes"] == 0
+        assert not any("[23, 5]" in k for k in clean["by_shape"])
+        extra = jnp.ones((23, 5)).block_until_ready()
+        leaked = leak_check(baseline=base)
+        assert leaked["count"] == 1
+        assert leaked["nbytes"] == extra.nbytes
+        assert any("[23, 5]" in k for k in leaked["by_shape"])
+        del keep, extra

@@ -217,3 +217,40 @@ class TestDiagnostics:
         assert int(diag.n_instances) == n
         assert int(np.asarray(diag.termination_counts).sum()) == n
         assert float(diag.mean_iterations) > 0
+
+
+class TestInitializeDistributed:
+    def test_coordinator_address_env_is_forwarded(self, monkeypatch):
+        """The COORDINATOR_ADDRESS spelling the opt-in gate accepts must be
+        forwarded to jax.distributed.initialize, which itself only reads
+        JAX_COORDINATOR_ADDRESS — otherwise the call falls into pod
+        auto-detection and fails on ad-hoc clusters."""
+        from cartpole_tpu.parallel import initialize_distributed
+
+        seen = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            seen.update(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("COORDINATOR_ADDRESS", "coord:1234")
+        initialize_distributed()
+        assert seen["coordinator_address"] == "coord:1234"
+
+    def test_no_opt_in_is_a_no_op(self, monkeypatch):
+        from cartpole_tpu.parallel import initialize_distributed
+
+        def boom(**kw):  # pragma: no cover - must not be called
+            raise AssertionError("initialize called without opt-in")
+
+        monkeypatch.setattr(jax.distributed, "initialize", boom)
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+        initialize_distributed()
+        initialize_distributed(num_processes=1)

@@ -92,6 +92,26 @@ class TestSolveLog:
         )
         json.dumps(entry)  # round-trippable
 
+    def test_non_finite_values_serialize_as_null(self):
+        """A failed solve legitimately carries NaN/inf scalars; json.dumps
+        would emit literal NaN/Infinity tokens that RFC parsers (JSON.parse,
+        the reference log consumer) reject — they must become null."""
+        _, outputs, _ = _one_solve()
+        bad = outputs._replace(
+            u=outputs.u.at[0].set(jnp.nan),
+            solver=outputs.solver._replace(
+                cost=jnp.asarray(jnp.nan),
+                first_order_norm=jnp.asarray(jnp.inf),
+            ),
+        )
+        entry = solve_log_entry(bad)
+        text = json.dumps(entry)
+        assert "NaN" not in text and "Infinity" not in text
+        assert entry["solver_outputs"]["cost"] is None
+        assert entry["solver_outputs"]["first_order_norm"] is None
+        assert entry["u"][0] is None and entry["u"][1] is not None
+        json.loads(text)
+
     def test_ring_buffer_caps(self):
         _, outputs, _ = _one_solve()
         log = SolveLog(capacity=3)
