@@ -10,6 +10,7 @@ Usage::
     python -m cartpole_tpu solve --params '{"state_spacing": 5}'
     python -m cartpole_tpu closed-loop --steps 250 --log-json log.json
     python -m cartpole_tpu sweep --batch 1024 --steps 100
+    python -m cartpole_tpu replay log.json --charts charts.png --gif out.gif
 """
 
 from __future__ import annotations
@@ -260,6 +261,50 @@ def _cmd_sweep(args) -> int:
     return 0
 
 
+def _cmd_replay(args) -> int:
+    import numpy as np
+
+    from .ops.solver import NLSTerminationState, termination_state_name
+    from .utils import load_log, replay_log
+
+    rep = replay_log(load_log(args.log))
+    term = rep.termination_states
+    summary = {
+        "ticks": int(rep.states.shape[0]),
+        "state_dim": int(rep.states.shape[1]),
+        "final_state": [float(v) for v in rep.states[-1]],
+        "has_predictions": rep.predicted_states is not None,
+        "termination_histogram": {
+            termination_state_name(k): int((term == k).sum())
+            for k in range(5)
+            if int((term == k).sum())
+        },
+        "n_failed": int(
+            ((term == NLSTerminationState.QP_INDEFINITE)
+             | (term == NLSTerminationState.MAX_LAMBDA)).sum()
+        ),
+        "max_abs_u": float(np.abs(rep.controls).max()),
+    }
+    print(json.dumps(summary, indent=2))
+
+    n_links = (rep.states.shape[1] - 2) // 2
+    lengths = tuple(args.length for _ in range(n_links))
+    if args.charts:
+        from .viz import strip_charts
+
+        strip_charts(rep, control_dt=args.dt, save_to=args.charts)
+        print(f"wrote {args.charts}")
+    if args.gif:
+        from .viz import animate_closed_loop
+
+        animate_closed_loop(
+            rep, lengths=lengths, control_dt=args.dt, save_to=args.gif,
+            predicted_states=rep.predicted_states,
+        )
+        print(f"wrote {args.gif}")
+    return 0
+
+
 def main(argv: Optional[Sequence[str]] = None) -> int:
     ap = argparse.ArgumentParser(prog="cartpole_tpu", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -302,6 +347,22 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap_web.add_argument("--host", default="127.0.0.1")
     ap_web.add_argument("--port", type=int, default=8080)
     ap_web.set_defaults(fn=_cmd_web)
+
+    ap_rp = sub.add_parser(
+        "replay",
+        help="re-render a saved log.json (web 'Save log' or closed-loop "
+        "--log-json) as summary/strip charts/animation — no solver run",
+    )
+    ap_rp.add_argument("log", help="path to the saved log JSON")
+    ap_rp.add_argument("--charts", default=None, help="save strip-chart PNG")
+    ap_rp.add_argument("--gif", default=None,
+                       help="save animation GIF (with prediction ghosts "
+                       "when the log carries them)")
+    ap_rp.add_argument("--dt", type=float, default=0.01,
+                       help="tick duration for time axes (control_dt)")
+    ap_rp.add_argument("--length", type=float, default=0.25,
+                       help="per-link length for rendering")
+    ap_rp.set_defaults(fn=_cmd_replay)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -21,6 +21,7 @@ from .debug import (
     leak_check,
 )
 from .logging import SolveLog, solve_log_entry, solver_summary
+from .replay import LogReplay, load_log, replay_log
 from .tracing import (
     TraceCollector,
     get_trace_json,
@@ -31,13 +32,16 @@ from .tracing import (
 )
 
 __all__ = [
+    "LogReplay",
     "SolveLog",
     "TraceCollector",
     "get_trace_json",
     "is_tracing_enabled",
     "leak_check",
+    "load_log",
     "load_state",
     "load_state_orbax",
+    "replay_log",
     "profiler_trace",
     "save_state",
     "save_state_orbax",

@@ -140,8 +140,15 @@ def animate_closed_loop(
     control_dt: float = 0.01,
     stride: int = 2,
     save_to: str = "closed_loop.gif",
+    predicted_states=None,
 ):
-    """Render a ``ClosedLoopResult`` as an animation (GIF via pillow)."""
+    """Render a ``ClosedLoopResult`` as an animation (GIF via pillow).
+
+    ``predicted_states`` (optional, ``(T, N, state_dim)``): per-tick MPC
+    predictions drawn as alpha-faded ghost carts every 10th sample — the
+    live-renderer behavior (``renderer.ts:88-101``), e.g. from a replayed
+    solve log (``utils/replay.py``).
+    """
     import matplotlib
 
     matplotlib.use("Agg")
@@ -150,12 +157,23 @@ def animate_closed_loop(
 
     states = np.asarray(result.states)[::stride]
     controls = np.asarray(result.controls)[::stride]
+    preds = (
+        np.asarray(predicted_states)[::stride]
+        if predicted_states is not None
+        else None
+    )
 
     fig, ax = plt.subplots(figsize=(8, 4))
 
     def render(i):
         ax.clear()
         ax.axhline(0.0, color="k", lw=1.0)
+        if preds is not None:
+            ghosts = preds[i][_GHOST_STRIDE - 1 :: _GHOST_STRIDE]
+            for k, g in enumerate(ghosts):
+                fade = 0.35 * (1.0 - k / max(len(ghosts), 1))
+                _draw_cartpole(ax, g, lengths, alpha=max(fade, 0.06),
+                               color="tab:gray")
         _draw_cartpole(ax, states[i], lengths)
         ax.set_title(
             f"t = {i * stride * control_dt:.2f} s   u = {controls[i]:+7.1f} N"
