@@ -48,7 +48,13 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 def _make_x0s(args, n, dtype, seed=0):
     rng = np.random.RandomState(seed)
-    if args.model == "double":
+    if args.model == "triple":
+        up = math.pi / 2
+        x0s = np.tile(np.array([0.0, up, up, up, 0.0, 0.0, 0.0, 0.0]),
+                      (n, 1))
+        x0s[:, 0] += rng.uniform(-0.2, 0.2, n)
+        x0s[:, 1:4] += rng.uniform(-0.06, 0.06, (n, 3))
+    elif args.model == "double":
         # Perturbed-upright stabilization: double-pole swing-up from hang
         # is covered in tests/test_double_mpc.py; the bench regime is the
         # (much more common in deployment) disturbance-rejection loop.
@@ -71,14 +77,14 @@ def _build_runner(args, ticks, kkt, dtype, dp):
     timing reps, and the chunked swing-up demonstration all share one trace
     (one tunneled-TPU AOT compile) — chaining chunks never retraces.
     """
-    from cartpole_tpu import DOUBLE_CARTPOLE, OptimizationParams, make_mpc
+    from cartpole_tpu import OptimizationParams, get_model, make_mpc
     from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
     from cartpole_tpu.mpc.closed_loop import run_closed_loop
 
     opt_kwargs = dict(
         max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
     )
-    if args.model == "double":
+    if args.model in ("double", "triple"):
         # The 0.4 s default window leaves double-pole perturbations on the
         # edge of the region of attraction (tests/test_double_mpc.py).
         opt_kwargs["window_length"] = 60
@@ -97,10 +103,7 @@ def _build_runner(args, ticks, kkt, dtype, dp):
             b_x_dot_final_cost_weight=10.0,
             u_guess_sinusoid_amplitude=0.0,
         )
-    mpc = make_mpc(
-        OptimizationParams(**opt_kwargs),
-        *(() if args.model == "single" else (DOUBLE_CARTPOLE,)),
-    )
+    mpc = make_mpc(OptimizationParams(**opt_kwargs), get_model(args.model))
     # ``dp`` is captured as a closure CONSTANT, not a traced argument:
     # XLA then constant-folds the parameter arithmetic inside the
     # generated dynamics kernels (~35% faster ticks on v5e). Same
@@ -191,9 +194,10 @@ def main(argv=None):
     ap.add_argument("--kkt", default="condensed",
                     choices=("condensed", "schur", "lu"))
     ap.add_argument("--model", default="single",
-                    choices=("single", "double"),
-                    help="model family (double = 6-state double pole, "
-                    "a capability the reference left WIP)")
+                    choices=("single", "double", "triple"),
+                    help="model family (double = 6-state double pole, a "
+                    "capability the reference left WIP; triple = 8-state "
+                    "three-link chain, beyond the reference's roadmap)")
     ap.add_argument("--layout", default="lanes", choices=("lanes", "vmap"),
                     help="batching layout (lanes = batch-in-lanes fast "
                     "path; requires condensed)")
@@ -216,11 +220,13 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
 
-    from cartpole_tpu import default_double_params, default_single_params
+    from cartpole_tpu import get_model
 
     dev = jax.devices()[0]
-    dp = (default_double_params(dtype) if args.model == "double"
-          else default_single_params(dtype))
+    dp = jax.tree.map(
+        lambda v: jnp.asarray(v, dtype),
+        get_model(args.model).default_params(),
+    )
 
     if args.sweep:
         return _sweep(args, dp, dtype, dev)

@@ -8,7 +8,7 @@ functions over PyTrees so everything jits, vmaps over thousands of scenarios
 per chip, and shards over device meshes.
 
 Layer map (bottom-up):
-  models/    closed-form single & double cart-pole dynamics (Jacobians via AD)
+  models/    single / double / triple cart-pole dynamics (analytic + AD Jacobians)
   ops/       mod_pi / RK4 / scan rollouts; batched constrained GN solver
   mpc/       problem builder, controller, plant simulator, closed-loop driver
   parallel/  scenario-sharded meshes, distributed diagnostics
@@ -21,13 +21,18 @@ from .models import (
     DoubleCartPoleParams,
     SINGLE_CARTPOLE,
     SingleCartPoleParams,
+    TRIPLE_CARTPOLE,
+    TripleCartPoleParams,
     default_double_params,
     default_single_params,
+    default_triple_params,
     double_cartpole_dynamics,
     double_cartpole_energy,
     get_model,
     single_cartpole_dynamics,
     single_cartpole_energy,
+    triple_cartpole_dynamics,
+    triple_cartpole_energy,
 )
 from .mpc import (
     ClosedLoopResult,

@@ -26,7 +26,8 @@ __all__ = ["main"]
 
 
 def _add_common(ap: argparse.ArgumentParser) -> None:
-    ap.add_argument("--model", choices=("single", "double"), default="single")
+    ap.add_argument("--model", choices=("single", "double", "triple"),
+                    default="single")
     ap.add_argument("--params", default="{}",
                     help="OptimizationParams overrides as JSON")
     ap.add_argument("--dynamics", default="{}",
@@ -53,10 +54,12 @@ def _setup(args):
 
     dtype = jnp.float32 if args.f32 else jnp.float64
     model = get_model(args.model)
-    if args.model == "double" and "window_length" not in json.loads(args.params):
-        # The 0.4 s default window leaves the double pole on the edge of
-        # its region of attraction (tests/test_double_mpc.py) — applied to
-        # EVERY subcommand so closed-loop/sweep match interactive/web.
+    if args.model in ("double", "triple") \
+            and "window_length" not in json.loads(args.params):
+        # The 0.4 s default window leaves the double/triple pole on the
+        # edge of its region of attraction (tests/test_double_mpc.py,
+        # tests/test_triple.py) — applied to EVERY subcommand so
+        # closed-loop/sweep match interactive/web.
         args.params = json.dumps(
             {**json.loads(args.params), "window_length": 60}
         )

@@ -13,9 +13,20 @@ from typing import Any, Callable, Tuple
 
 from . import double as _double
 from . import single as _single
-from .params import DoubleCartPoleParams, SingleCartPoleParams
+from . import triple as _triple
+from .params import (
+    DoubleCartPoleParams,
+    SingleCartPoleParams,
+    TripleCartPoleParams,
+)
 
-__all__ = ["CartPoleModel", "SINGLE_CARTPOLE", "DOUBLE_CARTPOLE", "get_model"]
+__all__ = [
+    "CartPoleModel",
+    "SINGLE_CARTPOLE",
+    "DOUBLE_CARTPOLE",
+    "TRIPLE_CARTPOLE",
+    "get_model",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,13 +81,27 @@ DOUBLE_CARTPOLE = CartPoleModel(
     dynamics_jac_core=_double.double_cartpole_dynamics_jac_core,
 )
 
-_REGISTRY = {m.name: m for m in (SINGLE_CARTPOLE, DOUBLE_CARTPOLE)}
+TRIPLE_CARTPOLE = CartPoleModel(
+    name="triple",
+    state_dim=_triple.STATE_DIM,
+    angle_indices=_triple.ANGLE_INDICES,
+    dynamics=_triple.triple_cartpole_dynamics,
+    energy=_triple.triple_cartpole_energy,
+    params_type=TripleCartPoleParams,
+    dynamics_jac=_triple.triple_cartpole_dynamics_jac,
+    dynamics_core=_triple.triple_cartpole_dynamics_core,
+    dynamics_jac_core=_triple.triple_cartpole_dynamics_jac_core,
+)
+
+_REGISTRY = {
+    m.name: m for m in (SINGLE_CARTPOLE, DOUBLE_CARTPOLE, TRIPLE_CARTPOLE)
+}
 
 
 def get_model(name: str) -> CartPoleModel:
-    """Look up a model family by name (``"single"`` / ``"double"``) —
-    the analog of the reference's ``--version single|double`` codegen flag
-    (``symbolic/generate.py:53-61``)."""
+    """Look up a model family by name (``"single"`` / ``"double"`` /
+    ``"triple"``) — the analog of the reference's ``--version single|double``
+    codegen flag (``symbolic/generate.py:53-61``)."""
     try:
         return _REGISTRY[name]
     except KeyError:

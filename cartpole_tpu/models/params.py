@@ -19,8 +19,10 @@ import jax.numpy as jnp
 __all__ = [
     "SingleCartPoleParams",
     "DoubleCartPoleParams",
+    "TripleCartPoleParams",
     "default_single_params",
     "default_double_params",
+    "default_triple_params",
 ]
 
 
@@ -100,6 +102,27 @@ class DoubleCartPoleParams:
         return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
 
 
+@_pytree_dataclass
+class TripleCartPoleParams:
+    """Physical parameters of the cart + three-link pole chain.
+
+    One link beyond the reference's WIP double model
+    (``symbolic/dynamics_double.py:14-22``); same conservative structure.
+    """
+
+    m_b: Any = 1.0  #: Mass of the base / cart (kg).
+    m_1: Any = 0.1  #: Point mass at the first link tip (kg).
+    m_2: Any = 0.1  #: Point mass at the second link tip (kg).
+    m_3: Any = 0.1  #: Point mass at the third link tip (kg).
+    l_1: Any = 0.25  #: First link length (m).
+    l_2: Any = 0.25  #: Second link length (m).
+    l_3: Any = 0.25  #: Third link length (m).
+    g: Any = 9.81  #: Gravitational acceleration (m/s^2).
+
+    def as_dict(self) -> dict:
+        return {f.name: getattr(self, f.name) for f in dataclasses.fields(self)}
+
+
 def default_single_params(dtype=jnp.float32) -> SingleCartPoleParams:
     """The nominal system used by the reference closed-loop test
     (``optimization_test.cc:22``)."""
@@ -109,4 +132,9 @@ def default_single_params(dtype=jnp.float32) -> SingleCartPoleParams:
 
 def default_double_params(dtype=jnp.float32) -> DoubleCartPoleParams:
     p = DoubleCartPoleParams()
+    return jax.tree.map(lambda v: jnp.asarray(v, dtype=dtype), p)
+
+
+def default_triple_params(dtype=jnp.float32) -> TripleCartPoleParams:
+    p = TripleCartPoleParams()
     return jax.tree.map(lambda v: jnp.asarray(v, dtype=dtype), p)

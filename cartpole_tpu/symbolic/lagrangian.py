@@ -23,8 +23,10 @@ __all__ = [
     "SymbolicModel",
     "derive_single_cartpole",
     "derive_double_cartpole",
+    "derive_triple_cartpole",
     "make_numeric_single",
     "make_numeric_double",
+    "make_numeric_triple",
 ]
 
 
@@ -199,6 +201,91 @@ def derive_double_cartpole() -> SymbolicModel:
     )
 
 
+def derive_triple_cartpole() -> SymbolicModel:
+    """Cart + three-link pole chain with external point forces at the base
+    and every link mass.
+
+    The reference stops at a WIP two-link derivation
+    (``dynamics_double.py:1-3``); this extends the same conservative
+    Lagrangian chain one more link — the model-generic layers
+    (``models/base.py``, problem builder, solver, lanes path) consume it
+    unchanged, which is the point of deriving models rather than
+    hand-wiring them (``optimization.cc:197-198`` hard-codes state_dim=4
+    with a TODO).
+    """
+    import sympy as sym
+
+    n = 3  # links
+    b_x = sym.Symbol("b_x", real=True)
+    ths = list(sym.symbols(f"th_1:{n + 1}", real=True))
+    b_v = sym.Symbol("b_v", real=True)
+    th_vs = list(sym.symbols(" ".join(f"th_{i}_v" for i in range(1, n + 1)), real=True))
+    qdd = list(sym.symbols("b_dd " + " ".join(f"th_{i}_dd" for i in range(1, n + 1)), real=True))
+    u = sym.Symbol("u", real=True)
+    m_b = sym.Symbol("m_b", positive=True)
+    ms = list(sym.symbols(" ".join(f"m_{i}" for i in range(1, n + 1)), positive=True))
+    ls = list(sym.symbols(" ".join(f"l_{i}" for i in range(1, n + 1)), positive=True))
+    g = sym.Symbol("g", positive=True)
+    force_syms = list(
+        sym.symbols(
+            "f_b_x f_b_y "
+            + " ".join(f"f_{i}_x f_{i}_y" for i in range(1, n + 1)),
+            real=True,
+        )
+    )
+
+    q = [b_x] + ths
+    qd = [b_v] + th_vs
+
+    # Chain kinematics: each mass hangs one link beyond the previous.
+    p_base = sym.Matrix([b_x, 0])
+    points = []
+    p = p_base
+    for i in range(n):
+        p = p + sym.Matrix([ls[i] * sym.cos(ths[i]), ls[i] * sym.sin(ths[i])])
+        points.append(p)
+
+    def vel(pt):
+        return sym.Matrix(
+            [
+                sum(sym.diff(pt[k], q[j]) * qd[j] for j in range(n + 1))
+                for k in range(2)
+            ]
+        )
+
+    T = m_b * b_v**2 / 2
+    V = sym.S.Zero
+    for i in range(n):
+        v_i = vel(points[i])
+        T += ms[i] * (v_i.T * v_i)[0, 0] / 2
+        V += ms[i] * g * points[i][1]
+    L = T - V
+
+    forces = [(p_base, sym.Matrix(force_syms[0:2]))]
+    for i in range(n):
+        forces.append((points[i], sym.Matrix(force_syms[2 + 2 * i : 4 + 2 * i])))
+    Q = []
+    for i in range(n + 1):
+        gen = sym.S.Zero
+        for pt, fv in forces:
+            gen += (fv.T * sym.Matrix([sym.diff(pt[k], q[i]) for k in range(2)]))[0, 0]
+        Q.append(gen)
+    Q[0] += u
+
+    M, f = _euler_lagrange(sym, L, sym.S.Zero, q, qd, qdd, Q)
+    # LUsolve instead of M.inv(): the adjugate of the 4x4 trig mass matrix
+    # explodes symbolically; LU keeps the expression DAG compact for CSE.
+    qdd_sol = M.LUsolve(f)
+
+    return SymbolicModel(
+        qdd_exprs=list(qdd_sol),
+        state_syms=[b_x] + ths + [b_v] + th_vs,
+        u_sym=u,
+        param_syms=[m_b] + ms + ls + [g],
+        force_syms=force_syms,
+    )
+
+
 def _lambdify(model: SymbolicModel) -> Callable:
     import sympy as sym
 
@@ -229,3 +316,8 @@ def make_numeric_single() -> Callable:
 def make_numeric_double() -> Callable:
     """``f(params_tuple6, x6, u, forces6) -> x_dot6`` from the derivation."""
     return _lambdify(derive_double_cartpole())
+
+
+def make_numeric_triple() -> Callable:
+    """``f(params_tuple8, x8, u, forces8) -> x_dot8`` from the derivation."""
+    return _lambdify(derive_triple_cartpole())
