@@ -1,0 +1,128 @@
+"""Prove the CI workflow locally: run its exact command matrix in a
+dependency-constrained interpreter.
+
+Round 2's CI would have failed if executed (undeclared matplotlib/orbax
+imports). No GitHub runner exists here, so this script is the proof the
+round-3 review asked for: it executes the literal commands of every job in
+``.github/workflows/ci.yml`` with a ``sitecustomize`` import blocker that
+raises ``ModuleNotFoundError`` for every distribution present in this
+image but NOT pip-installed by the job — emulating the runner's constrained
+venv. The log is committed as ``docs/ci_proof_r03.log``.
+
+Steps the runner can do but this image cannot (``pip install ruff``,
+``node --check``) are recorded as ENV-SKIPPED with the local stand-in that
+covers them (scripts/lint.py; tests/test_web_frontend.py).
+
+Usage: python scripts/ci_proof.py [--log PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+#: Packages available in this image that the CI jobs do NOT install —
+#: importing any of these under the blocker proves a dependency-list lie.
+NOT_INSTALLED_BY_CI = [
+    "torch", "torchvision", "transformers", "accelerate", "flax", "optax",
+    "chex", "haiku", "einops", "pandas", "sklearn", "tensorflow", "datasets",
+    "safetensors", "tokenizers",
+]
+
+SITECUSTOMIZE = f"""\
+import sys
+
+BLOCKED = set({NOT_INSTALLED_BY_CI!r})
+
+
+class _CIDepBlocker:
+    def find_spec(self, name, path=None, target=None):
+        if name.split(".")[0] in BLOCKED:
+            raise ModuleNotFoundError(
+                f"{{name}} is blocked: not in the CI job's pip install list "
+                "(scripts/ci_proof.py)")
+        return None
+
+
+sys.meta_path.insert(0, _CIDepBlocker())
+"""
+
+# The literal command matrix of .github/workflows/ci.yml, in job order.
+# (cmd, extra_env, skip_reason_or_None)
+MATRIX = [
+    ("lint", ["pip", "install", "ruff"], {},
+     "ENV-SKIPPED: no network; ruff absent from image. Stand-in: "
+     "scripts/lint.py runs the same wall below."),
+    ("lint", ["ruff", "check", "."], {},
+     "ENV-SKIPPED: ruff absent from image (see above)."),
+    ("lint", [sys.executable, "scripts/lint.py"], {}, None),
+    ("test", [sys.executable, "-m", "pytest", "tests/", "-q", "-x"],
+     {"CARTPOLE_REQUIRE_OPTIONAL": "1"}, None),
+    ("smoke", [sys.executable, "-m", "cartpole_tpu", "solve", "--cpu",
+               "--params", '{"max_iterations": 3}'], {}, None),
+    ("smoke", [sys.executable, "-m", "cartpole_tpu", "closed-loop", "--cpu",
+               "--steps", "10", "--params", '{"max_iterations": 3}'], {}, None),
+    ("smoke", [sys.executable, "-m", "cartpole_tpu", "sweep", "--cpu",
+               "--batch", "8", "--steps", "5",
+               "--params", '{"max_iterations": 2}'], {}, None),
+    ("smoke", [sys.executable, "bench.py", "--cpu", "--batch", "8",
+               "--ticks", "3", "--reps", "1"], {}, None),
+    ("smoke", [sys.executable, "bench.py", "--cpu", "--batch", "8",
+               "--ticks", "3", "--reps", "1", "--model", "double",
+               "--no-upright"], {}, None),
+    ("frontend", [sys.executable, "scripts/extract_page_js.py"], {}, None),
+    ("frontend", ["node", "--check", "/tmp/page.js"], {},
+     "ENV-SKIPPED: node absent from image (present on ubuntu-latest). "
+     "Stand-in: tests/test_web_frontend.py structural checks in the test "
+     "job above."),
+]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--log", default=str(REPO / "docs" / "ci_proof_r03.log"))
+    args = ap.parse_args()
+
+    blocker_dir = Path(tempfile.mkdtemp(prefix="ci_blocker_"))
+    (blocker_dir / "sitecustomize.py").write_text(SITECUSTOMIZE)
+
+    lines = [
+        f"CI proof run — {datetime.datetime.now().isoformat(timespec='seconds')}",
+        f"host python: {sys.version.split()[0]}",
+        f"blocked imports (not installed by CI): {NOT_INSTALLED_BY_CI}",
+        "",
+    ]
+    failed = 0
+    for job, cmd, extra_env, skip in MATRIX:
+        head = f"[{job}] $ {' '.join(cmd)}"
+        print(head, flush=True)
+        if skip:
+            lines += [head, f"  {skip}", ""]
+            continue
+        env = dict(os.environ, PYTHONPATH=str(blocker_dir), **extra_env)
+        proc = subprocess.run(
+            cmd, cwd=REPO, env=env, text=True,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        tail = proc.stdout.strip().splitlines()[-12:]
+        status = "OK" if proc.returncode == 0 else f"FAILED rc={proc.returncode}"
+        if proc.returncode != 0:
+            failed += 1
+            tail = proc.stdout.strip().splitlines()[-60:]
+        lines += [head, f"  -> {status}"] + [f"  | {t}" for t in tail] + [""]
+        print(f"  -> {status}", flush=True)
+
+    lines.append(f"RESULT: {'PASS' if failed == 0 else f'{failed} FAILED'}")
+    Path(args.log).write_text("\n".join(lines) + "\n")
+    print(f"log written to {args.log}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,28 @@
+"""Extract the in-page <script> from web/page.py to stdout.
+
+Used by the CI frontend job to run ``node --check`` on the real script
+(the analog of the reference's webpack production build gate,
+``/root/reference/.github/workflows/linux.yml:79-92``). Loads page.py by
+path — it is import-free — so no Python dependencies are needed.
+"""
+
+import re
+import runpy
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> int:
+    ns = runpy.run_path(str(REPO / "cartpole_tpu" / "web" / "page.py"))
+    m = re.search(r"<script>(.*)</script>", ns["PAGE_HTML"], re.DOTALL)
+    if not m:
+        print("no <script> block found in PAGE_HTML", file=sys.stderr)
+        return 1
+    sys.stdout.write(m.group(1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,10 +1,14 @@
 """Dependency-free lint wall (this image ships no ruff/flake8; CI runs ruff
 too, but this keeps the wall enforceable locally).
 
-Checks: syntax, unused imports, trailing whitespace, tabs in indentation,
-and line length > 100. The line-length limit matches ``[tool.ruff]`` in
-pyproject.toml. Reference analog: the pre-commit lint wall of
-``/root/reference/.pre-commit-config.yaml``.
+Python checks: syntax, unused imports, trailing whitespace, tabs in
+indentation, and line length > 100 (matches ``[tool.ruff]`` in
+pyproject.toml). C++ checks (``native/*.cc``): trailing whitespace, tabs,
+line length, CRLF, missing final newline, and bracket balance outside
+string/char literals and comments — the locally-enforceable core of the
+reference's clang-format gate (``/root/reference/.clang-format``,
+``.pre-commit-config.yaml``); a ``.clang-format`` mirroring the same style
+is committed for dev machines that have the binary.
 
 Usage: python scripts/lint.py [paths...]   (default: the package + tests)
 """
@@ -87,12 +91,72 @@ def lint_file(path: pathlib.Path):
     return problems
 
 
+def _strip_cpp_literals(src: str) -> str:
+    """Blank out string/char literals and comments, preserving newlines."""
+    out = []
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and src[j] != c:
+                j += 2 if src[j] == "\\" else 1
+            out.append(c + c)
+            i = min(j + 1, n)
+        elif src.startswith("//", i):
+            j = src.find("\n", i)
+            i = n if j == -1 else j
+        elif src.startswith("/*", i):
+            j = src.find("*/", i + 2)
+            seg = src[i:(n if j == -1 else j + 2)]
+            out.append("\n" * seg.count("\n"))
+            i = n if j == -1 else j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def lint_cpp_file(path: pathlib.Path):
+    problems = []
+    raw = path.read_bytes()
+    if b"\r" in raw:
+        problems.append((0, "CRLF line endings"))
+    if raw and not raw.endswith(b"\n"):
+        problems.append((0, "missing final newline"))
+    src = raw.decode("utf-8")
+    for i, line in enumerate(src.splitlines(), 1):
+        if line.rstrip() != line:
+            problems.append((i, "trailing whitespace"))
+        if "\t" in line:
+            problems.append((i, "tab character"))
+        if len(line) > MAX_LINE:
+            problems.append((i, f"line too long ({len(line)} > {MAX_LINE})"))
+    stripped = _strip_cpp_literals(src)
+    pairs = {")": "(", "]": "[", "}": "{"}
+    stack: list[tuple[str, int]] = []
+    line_no = 1
+    for ch in stripped:
+        if ch == "\n":
+            line_no += 1
+        elif ch in "([{":
+            stack.append((ch, line_no))
+        elif ch in ")]}":
+            if not stack or stack.pop()[0] != pairs[ch]:
+                problems.append((line_no, f"unbalanced {ch!r}"))
+                break
+    if stack:
+        problems.append((stack[-1][1], f"unclosed {stack[-1][0]!r}"))
+    return problems
+
+
 def main(argv):
     roots = [pathlib.Path(p) for p in argv[1:]] or [
         pathlib.Path("cartpole_tpu"),
         pathlib.Path("tests"),
         pathlib.Path("scripts"),
         pathlib.Path("examples"),
+        pathlib.Path("native"),
         pathlib.Path("bench.py"),
         pathlib.Path("__graft_entry__.py"),
     ]
@@ -102,11 +166,14 @@ def main(argv):
             files.append(r)
         else:
             files += sorted(r.rglob("*.py"))
+            files += sorted(
+                f for ext in ("*.cc", "*.h", "*.hpp") for f in r.rglob(ext))
     n = 0
     for f in files:
         if "_gen.py" in f.name:  # machine-generated modules
             continue
-        for lineno, msg in lint_file(f):
+        checker = lint_cpp_file if f.suffix in (".cc", ".h", ".hpp") else lint_file
+        for lineno, msg in checker(f):
             print(f"{f}:{lineno}: {msg}")
             n += 1
     if n:

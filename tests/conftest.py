@@ -26,6 +26,22 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 
+def require_or_skip(modname: str):
+    """Import an optional dependency; skip the test when it is absent.
+
+    In CI the test job *declares* every optional dependency installed
+    (``.github/workflows/ci.yml``) and sets ``CARTPOLE_REQUIRE_OPTIONAL=1``,
+    which turns a missing module into a hard failure instead of a silent
+    skip — the skip-count gate the round-2 review asked for: optional-dep
+    tests cannot quietly vanish from the CI signal.
+    """
+    if os.environ.get("CARTPOLE_REQUIRE_OPTIONAL"):
+        import importlib
+
+        return importlib.import_module(modname)
+    return pytest.importorskip(modname)
+
+
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",

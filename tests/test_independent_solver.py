@@ -17,7 +17,10 @@ legitimately differ in the active-set corner handling.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import scipy.optimize
+from conftest import require_or_skip
+
+require_or_skip("scipy.optimize")
+import scipy.optimize  # noqa: E402
 
 from cartpole_tpu import (
     OptimizationParams,

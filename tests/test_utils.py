@@ -5,6 +5,7 @@ import json
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cartpole_tpu import (
     OptimizationParams,
@@ -234,6 +235,12 @@ class TestCheckpoint:
 
 class TestOrbaxCheckpoint:
     """The TPU-idiomatic backend: sharded save/restore + async save."""
+
+    @pytest.fixture(autouse=True)
+    def _need_orbax(self):
+        from conftest import require_or_skip
+
+        require_or_skip("orbax.checkpoint")
 
     def test_round_trip_preserves_values_and_resume(self, tmp_path):
         from cartpole_tpu.utils import load_state_orbax, save_state_orbax

@@ -5,13 +5,14 @@ state of the swing-up demos."""
 
 import math
 
-import matplotlib
+from conftest import require_or_skip
 
+matplotlib = require_or_skip("matplotlib")
 matplotlib.use("Agg")
 
-import numpy as np
+import numpy as np  # noqa: E402
 
-from cartpole_tpu.viz import animate_closed_loop, draw_frame, strip_charts
+from cartpole_tpu.viz import animate_closed_loop, draw_frame, strip_charts  # noqa: E402
 
 DOWN = np.array([0.0, -math.pi / 2, 0.0, 0.0])
 DOWN_DOUBLE = np.array([0.0, -math.pi / 2, -math.pi / 2, 0.0, 0.0, 0.0])

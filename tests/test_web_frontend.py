@@ -1,0 +1,169 @@
+"""Static validation of the in-page JS against the HTML and the server.
+
+The reference production-builds and lint-gates its TypeScript front end on
+every push (``/root/reference/.github/workflows/linux.yml:79-92``,
+eslint/prettier in ``.pre-commit-config.yaml``), so a broken reference UI
+cannot merge. This repo's front end is a single vanilla-JS ``<script>``
+embedded in ``cartpole_tpu/web/page.py`` — these tests are the analogous
+merge gate that runs everywhere pytest runs (no node needed):
+
+* every ``getElementById`` target — literal or built by the ``slider``/
+  ``costControl``/``drawPlot`` id-suffix conventions — must exist as an
+  ``id=`` in the HTML, and vice versa (no orphan controls);
+* every ``fetch``/``post`` path in the JS must be a route the server
+  actually handles (``web/server.py`` do_GET/do_POST dispatch);
+* the script must lex cleanly: balanced brackets and terminated strings
+  outside comments/string literals.
+
+CI additionally runs a real parse via ``node --check`` on the extracted
+script (see ``.github/workflows/ci.yml`` frontend job).
+"""
+
+import re
+
+import pytest
+
+from cartpole_tpu.web.page import PAGE_HTML
+
+
+@pytest.fixture(scope="module")
+def script():
+    m = re.search(r"<script>(.*)</script>", PAGE_HTML, re.DOTALL)
+    assert m, "PAGE_HTML must contain exactly one <script> block"
+    return m.group(1)
+
+
+@pytest.fixture(scope="module")
+def html_ids():
+    return set(re.findall(r'id="([^"]+)"', PAGE_HTML))
+
+
+def _strip_strings_and_comments(js):
+    """Remove string/template literals and comments, keeping structure.
+
+    The page JS uses no regex literals (checked below), so a simple
+    single-pass scanner is exact. Raises AssertionError on an unterminated
+    literal — that IS a front-end bug.
+    """
+    out = []
+    i, n = 0, len(js)
+    while i < n:
+        c = js[i]
+        if c in ("'", '"', "`"):
+            quote, j = c, i + 1
+            while j < n:
+                if js[j] == "\\":
+                    j += 2
+                    continue
+                if js[j] == quote:
+                    break
+                if quote != "`" and js[j] == "\n":
+                    raise AssertionError(
+                        f"unterminated {quote}-string at offset {i}")
+                j += 1
+            assert j < n, f"unterminated {quote}-string at offset {i}"
+            out.append('""')
+            i = j + 1
+        elif c == "/" and i + 1 < n and js[i + 1] == "/":
+            j = js.find("\n", i)
+            i = n if j == -1 else j
+        elif c == "/" and i + 1 < n and js[i + 1] == "*":
+            j = js.find("*/", i + 2)
+            assert j != -1, f"unterminated block comment at offset {i}"
+            i = j + 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+class TestScriptLexesCleanly:
+    def test_no_regex_literals(self, script):
+        # The scanner above assumes none; enforce that assumption.
+        stripped = _strip_strings_and_comments(script)
+        for m in re.finditer(r"/[^/*=\s]", stripped):
+            before = stripped[: m.start()].rstrip()
+            # Division is fine; a regex literal follows (, =, return, etc.
+            assert before and (before[-1].isalnum() or before[-1] in ")]"), (
+                f"possible regex literal at offset {m.start()}: "
+                f"...{stripped[max(0, m.start() - 30):m.start() + 10]}..."
+            )
+
+    def test_brackets_balanced(self, script):
+        stripped = _strip_strings_and_comments(script)
+        pairs = {")": "(", "]": "[", "}": "{"}
+        stack = []
+        for idx, ch in enumerate(stripped):
+            if ch in "([{":
+                stack.append((ch, idx))
+            elif ch in ")]}":
+                assert stack, f"unmatched {ch!r} at offset {idx}"
+                top, at = stack.pop()
+                assert top == pairs[ch], (
+                    f"mismatched {top!r} (offset {at}) closed by {ch!r} "
+                    f"(offset {idx})"
+                )
+        assert not stack, f"unclosed {stack[-1][0]!r} at offset {stack[-1][1]}"
+
+    def test_strict_mode_and_no_html_escapes_in_js(self, script):
+        assert '"use strict"' in script
+        # &theta; etc. belong in the HTML, not inside the script.
+        assert "&mdash;" not in script and "&theta;" not in script
+
+
+class TestIdsResolve:
+    """Every DOM id the JS touches exists in the HTML, and every interactive
+    id in the HTML is touched by the JS (matches the manual cross-reference
+    the round-2 review performed, now permanent)."""
+
+    def _js_ids(self, script):
+        ids = set(re.findall(r"getElementById\('([^']+)'\)", script))
+        # slider('x', ...) -> xSlider + xOutput (hidden-row path also uses
+        # both); costControl('x', ...) -> xSlider + xCheckbox + xOutput.
+        for name in re.findall(r"\bslider\('(\w+)'", script):
+            ids |= {name + "Slider", name + "Output"}
+        for name in re.findall(r"\bcostControl\('(\w+)'", script):
+            ids |= {name + "Slider", name + "Checkbox", name + "Output"}
+        # drawPlot('id', ...) / plotMouse over the plot-canvas list.
+        ids |= set(re.findall(r"drawPlot\('(\w+)'", script))
+        m = re.search(r"\[([^\]]*)\]\.forEach\(plotMouse\)", script)
+        if m:
+            ids |= set(re.findall(r"'(\w+)'", m.group(1)))
+        return ids
+
+    def test_every_js_id_exists_in_html(self, script, html_ids):
+        missing = self._js_ids(script) - html_ids
+        assert not missing, f"JS references ids absent from HTML: {missing}"
+
+    def test_every_html_id_is_used_by_js(self, script, html_ids):
+        orphans = html_ids - self._js_ids(script)
+        assert not orphans, f"HTML ids never touched by the JS: {orphans}"
+
+
+class TestRoutesResolve:
+    """Every fetch()/post() path in the JS is dispatched by the server."""
+
+    def _server_routes(self):
+        import inspect
+
+        from cartpole_tpu.web import server
+
+        src = inspect.getsource(server)
+        return set(re.findall(r'path == "(/[^"]*)"', src))
+
+    def _js_paths(self, script):
+        paths = set(re.findall(r"fetch\('(/[^']*)'", script))
+        paths |= set(re.findall(r"post\('(/[^']*)'", script))
+        # download('/log', ...) style indirection.
+        paths |= set(re.findall(r"download\('(/[^']*)'", script))
+        return paths
+
+    def test_every_js_path_has_a_route(self, script):
+        routes = self._server_routes()
+        missing = self._js_paths(script) - routes
+        assert not missing, f"JS fetches paths the server never routes: {missing}"
+
+    def test_js_exercises_the_interactive_routes(self, script):
+        # The UI must actually drive the core endpoints.
+        assert {"/state", "/poke", "/dynamics", "/optimization", "/control",
+                "/reset", "/log"} <= self._js_paths(script)
