@@ -168,6 +168,67 @@ def _health(res):
     return int(np.sum((term == 3) | (term == 4)))
 
 
+#: Peak HBM bandwidth by TPU generation (GB/s). The workload is
+#: memory-bound (arithmetic intensity ~0.7 FLOP/byte, docs/PARITY.md), so
+#: bandwidth utilization — not FLOP-MFU — is the speed-of-light lens.
+_PEAK_HBM_GBPS = {
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5e": 819.0,
+    "TPU v5": 1228.0,       # v5p
+    "TPU v4": 1200.0,
+    "TPU v6 lite": 1640.0,  # v6e / Trillium
+}
+
+
+def _peak_hbm_gbps(dev):
+    kind = getattr(dev, "device_kind", "")
+    for prefix, peak in _PEAK_HBM_GBPS.items():
+        if kind.startswith(prefix):
+            return peak
+    return None
+
+
+def _cost_metrics(run, example_args, ticks, best_s, dev):
+    """Machine-readable perf-floor fields from XLA's cost analysis.
+
+    ``bytes accessed`` is the compiled program's post-fusion HBM traffic
+    estimate; dividing by the measured wall time gives achieved bandwidth,
+    and the ratio to the chip's peak is how close the program sits to the
+    memory-bound speed-of-light. Returns {} when unavailable (CPU)."""
+    try:
+        comp = run.lower(*example_args).compile()
+        ca = comp.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        bytes_total = float(ca["bytes accessed"])
+        flops_total = float(ca.get("flops", 0.0))
+    except Exception as e:  # noqa: BLE001 - diagnostic only, never fatal
+        print(f"cost_analysis unavailable: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        return {}
+    out = {
+        "hbm_bytes_per_tick": round(bytes_total / ticks),
+        "flops_per_tick": round(flops_total / ticks),
+        "achieved_hbm_gbps": round(bytes_total / best_s / 1e9, 1),
+    }
+    peak = _peak_hbm_gbps(dev)
+    if peak:
+        out["hbm_util"] = round(bytes_total / best_s / 1e9 / peak, 4)
+    # Device-phase floor measured by scripts/phase_timing.py --json (the
+    # phase-sum of the tick's constituent programs, CLAUDE.md's 6.26 ms):
+    # ratio of that floor to the measured tick = how much is left.
+    floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "phase_floor.json")
+    if os.path.exists(floor_path):
+        with open(floor_path) as f:
+            floor = json.load(f)
+        tick_ms = best_s / ticks * 1e3
+        if floor.get("batch") and floor.get("phase_sum_ms"):
+            out["phase_floor_ratio"] = round(
+                floor["phase_sum_ms"] / tick_ms, 4)
+            out["phase_floor_ms"] = floor["phase_sum_ms"]
+    return out
+
+
 def _upright_fraction(xf, angle_indices=(1,)):
     th = np.asarray(xf)[:, list(angle_indices)]
     return float(np.mean(np.all(
@@ -206,6 +267,9 @@ def main(argv=None):
                     "environment ignores JAX_PLATFORMS, CLAUDE.md)")
     ap.add_argument("--no-upright", action="store_true",
                     help="skip the chunked swing-up demonstration")
+    ap.add_argument("--no-double", action="store_true",
+                    help="skip the double-pole health measurement that "
+                    "rides along with the default single-model run")
     ap.add_argument("--upright-ticks", type=int, default=250,
                     help="minimum total closed-loop ticks for the "
                     "demonstration (rounded up to a whole chunk)")
@@ -265,6 +329,16 @@ def main(argv=None):
         upright_failed = total_failed
         upright_ticks_run = ticks_run
 
+    cost = _cost_metrics(run, (x0s, sps, st0), ticks, best, dev)
+
+    # Double-pole health rides along with the default single-model run so
+    # the driver's one-line artifact captures BOTH regimes (VERDICT r2
+    # item 2a): throughput + upright fraction of the perturbed-upright
+    # disturbance-rejection loop at the same batch/tick operating point.
+    double = {}
+    if args.model == "single" and not args.no_double and not args.f64:
+        double = _double_health(args, dtype, dp_model="double")
+
     print(json.dumps({
         "metric": "batched_mpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 1),
@@ -285,8 +359,53 @@ def main(argv=None):
             "upright_ticks": upright_ticks_run,
             "upright_n_failed": upright_failed}
            if upright is not None else {}),
+        **cost,
+        **double,
     }))
     return 0
+
+
+def _double_health(args, dtype, dp_model="double"):
+    """Measure the double-pole disturbance-rejection regime and return
+    ``double_*`` fields for the driver artifact.
+
+    Same operating point as the headline run (batch/ticks/reps), the
+    all-soft terminal configuration ``_build_runner`` selects for the
+    double model, and the chunked continuation for the upright fraction.
+    """
+    import copy
+
+    from cartpole_tpu import get_model
+
+    dargs = copy.copy(args)
+    dargs.model = dp_model
+    dp = jax.tree.map(
+        lambda v: jnp.asarray(v, dtype),
+        get_model(dargs.model).default_params(),
+    )
+    n, ticks = dargs.batch, dargs.ticks
+    mpc, run, _layout = _build_runner(dargs, ticks, dargs.kkt, dtype, dp)
+    x0s = _make_x0s(dargs, n, dtype)
+    sps = jnp.zeros((n,), dtype)
+    st0 = _cold_state(mpc, n, dtype)
+    best, res = _time_run(run, x0s, sps, st0, dargs.reps)
+    total_failed = _health(res)
+    x, st = res.final_state, res.final_mpc_state
+    ticks_run = ticks
+    while ticks_run < dargs.upright_ticks:
+        res_c = run(x, sps, st)
+        x = res_c.final_state
+        st = res_c.final_mpc_state
+        ticks_run += ticks
+        total_failed += _health(res_c)
+    np.asarray(x[:4])
+    return {
+        "double_solves_per_s": round(n * ticks / best, 1),
+        "double_fraction_upright": round(
+            _upright_fraction(x, mpc.model.angle_indices), 4),
+        "double_upright_ticks": ticks_run,
+        "double_n_failed": total_failed,
+    }
 
 
 def _sweep(args, dp, dtype, dev):

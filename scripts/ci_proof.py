@@ -73,7 +73,7 @@ MATRIX = [
                "--batch", "8", "--steps", "5",
                "--params", '{"max_iterations": 2}'], {}, None),
     ("smoke", [sys.executable, "bench.py", "--cpu", "--batch", "8",
-               "--ticks", "3", "--reps", "1"], {}, None),
+               "--ticks", "3", "--reps", "1", "--no-double"], {}, None),
     ("smoke", [sys.executable, "bench.py", "--cpu", "--batch", "8",
                "--ticks", "3", "--reps", "1", "--model", "double",
                "--no-upright"], {}, None),

@@ -85,6 +85,10 @@ def main():
     ap.add_argument("--trace", default=None, metavar="OUT_JSON",
                     help="also record phases into the TraceCollector and "
                     "save Chrome-trace JSON (the getTraces analog)")
+    ap.add_argument("--json", default=None, metavar="OUT_JSON",
+                    help="write the machine-readable phase-floor artifact "
+                    "(bench.py reads ./phase_floor.json for its "
+                    "phase_floor_ratio field)")
     args = ap.parse_args()
 
     from cartpole_tpu import (
@@ -243,6 +247,24 @@ def main():
     model = it * t_cstep + it * t_lsf + 2 * t_roll
     print(f"            model total {model*1e3:8.2f} ms vs measured tick "
           f"{t_tick*1e3:8.2f} ms")
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({
+                "batch": B,
+                "phase_sum_ms": round(model * 1e3, 3),
+                "measured_tick_ms": round(t_tick * 1e3, 3),
+                "phases_ms": {
+                    "condensed_step_x_iters": round(it * t_cstep * 1e3, 3),
+                    "line_search_x_iters": round(it * t_lsf * 1e3, 3),
+                    "window_rollout_x2": round(2 * t_roll * 1e3, 3),
+                    "kkt_spectral_x_iters": round(it * t_kkt * 1e3, 3),
+                },
+                "device": str(jax.devices()[0].platform),
+                "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+            }, f, indent=1)
+        print(f"phase-floor artifact -> {args.json}")
 
     if args.trace:
         # Device-phase Chrome trace through the TraceCollector (the
