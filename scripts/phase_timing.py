@@ -259,10 +259,19 @@ def main():
                     "condensed_step_x_iters": round(it * t_cstep * 1e3, 3),
                     "line_search_x_iters": round(it * t_lsf * 1e3, 3),
                     "window_rollout_x2": round(2 * t_roll * 1e3, 3),
+                    # Sub-phase of condensed_step (informational, not in
+                    # phase_sum); the two-point slope can go slightly
+                    # negative at sub-0.1ms scales — that is measurement
+                    # noise, not negative time.
                     "kkt_spectral_x_iters": round(it * t_kkt * 1e3, 3),
                 },
                 "device": str(jax.devices()[0].platform),
                 "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+                "note": "phase_sum = condensed_step + line_search + "
+                        "rollout. kkt_spectral is a sub-phase of "
+                        "condensed_step (informational); two-point slopes "
+                        "can dip negative at sub-0.1ms scales — "
+                        "measurement noise, not negative time.",
             }, f, indent=1)
         print(f"phase-floor artifact -> {args.json}")
 
