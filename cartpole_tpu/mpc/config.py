@@ -65,6 +65,18 @@ class OptimizationParams:
     #: linearization. Equivalent to <=1e-11; measured slower on v5e (jacfwd
     #: shares one primal across all tangents), so off by default.
     analytic_jacobians: bool = False
+    #: Re-base the hard terminal equality rows onto an orthonormal basis
+    #: (per-instance constraint-space QR of the condensed A_eq block)
+    #: before the Schur elimination. The constraint SET — and hence the
+    #: exact-arithmetic GN step — is unchanged; only the numerics differ:
+    #: the equality part of the Schur factor gets orthonormal columns by
+    #: construction, so near-dependent row sets (the double pole's 5
+    #: terminal rows across a 0.6 s window, Schur cond ~1e9) no longer
+    #: square their conditioning into the f32 solve. Condensed path only.
+    #: New knob, no reference analog (the reference never ran its
+    #: negative-weight⇒equality mode in f32: optimization.cc:236-267 is
+    #: double-precision throughout).
+    rebase_equalities: bool = False
 
     def __post_init__(self):
         if self.control_dt <= 0:

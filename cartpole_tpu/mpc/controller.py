@@ -114,6 +114,52 @@ class MPC:
         finite = jnp.all(jnp.isfinite(outputs.solution), axis=-1)
         return bad | ~finite
 
+    def knockdown_mask(self, x, angle_threshold: float = 0.5):
+        """Per-instance PLANT-state knockdown detector: any pole angle more
+        than ``angle_threshold`` rad from upright. Complements
+        :meth:`failure_mask` (solver health): a knocked-down instance
+        usually has perfectly healthy solves — the plant just fell over.
+        ``x`` is ``(..., state_dim)``; returns a ``(...,)`` bool mask.
+
+        Measured characterization of the double-pole bench regime
+        (scripts/probe_knockdowns.py, knockdowns.json): the cold-start
+        transient knocks ~2% of 4096 instances down; most self-recover by
+        tick 500, and the residual stuck set responds to NO intervention
+        at u_limit 300 (sinusoid warm-start kicks recover fewer than the
+        do-nothing control) — so the product answer is detection +
+        reporting, not an automatic kick."""
+        from ..ops.integrate import mod_pi
+
+        x = jnp.asarray(x)
+        th = x[..., jnp.asarray(self.model.angle_indices)]
+        err = mod_pi(th - math.pi / 2)
+        return jnp.any(jnp.abs(err) > angle_threshold, axis=-1)
+
+    def knockdown_report(self, states, angle_threshold: float = 0.5,
+                         stuck_after: int = 100):
+        """Offline knockdown analysis of a recorded closed-loop trajectory
+        ``states`` ``(B, T, state_dim)`` (``ClosedLoopResult.states``).
+
+        Returns ``(down, first_down_tick, stuck)``:
+
+        - ``down`` ``(B, T)`` bool — per-tick knockdown mask;
+        - ``first_down_tick`` ``(B,)`` int32 — first knocked-down tick, or
+          ``-1`` if the instance never went down;
+        - ``stuck`` ``(B,)`` bool — down for the final ``stuck_after``
+          consecutive ticks (the unrecoverable set at u_limit 300; see
+          scripts/probe_knockdown_reachability.py for the quantified
+          reachability evidence).
+        """
+        down = self.knockdown_mask(states, angle_threshold)  # (B, T)
+        T = down.shape[-1]
+        ever = jnp.any(down, axis=-1)
+        first = jnp.where(ever, jnp.argmax(down, axis=-1), -1).astype(
+            jnp.int32
+        )
+        tail = min(stuck_after, T)
+        stuck = jnp.all(down[..., T - tail:], axis=-1)
+        return down, first, stuck
+
     # ------------------------------------------------------------------- guess
     def _initial_guess(self, state: MPCState, x_current):
         """Warm start (shift controls one step, optimization.cc:50-57) or

@@ -44,7 +44,7 @@ from ..ops.lanes import (
 from ..ops.solver import NLSConfig, NLSOutputs, NLSTerminationState
 from .closed_loop import ClosedLoopResult
 from .controller import MPC, MPCOutputs, MPCState
-from .problem import _qr_gram_factor
+from .problem import _mgs_qr, _qr_gram_factor, _tri_r_solve, _tri_rt_solve
 
 
 __all__ = ["step_lanes", "run_closed_loop_lanes", "simulator_step_lanes"]
@@ -375,6 +375,18 @@ class _LanesProblem:
             A_eq = jnp.zeros((0, K, B), dtype)
             c_bar = jnp.zeros((0, B), dtype)
 
+        R_eq = None
+        if n_t and p.rebase_equalities:
+            # Constraint-space re-basing (OptimizationParams.
+            # rebase_equalities; see MPCProblemSpec.make_condensed_step):
+            # per-instance QR of A_eq^T makes the equality rows
+            # orthonormal — same constraint set, same exact-arithmetic
+            # step, but the equality block of the Schur factor T stops
+            # carrying cond(A_eq) into the f32 solve.
+            qs_eq, R_eq = _mgs_qr(jnp.transpose(A_eq, (1, 0, 2)))
+            A_eq = jnp.stack(qs_eq)
+            c_bar = jnp.stack(_tri_rt_solve(R_eq, c_bar))
+
         # Augmented KKT solve (see __init__): factorized core
         # C = Hu + lam I in the static eigenbasis; ALL terminal rows
         # (soft costs then hard equalities) eliminated via one tiny Schur
@@ -450,6 +462,10 @@ class _LanesProblem:
             mu = jnp.zeros((0, B), dtype)
             du = -Cig
         mu_c, nu = mu[:n_tc], mu[n_tc:]
+        if R_eq is not None:
+            # Back to the ORIGINAL equality multipliers (nu = R^{-1}
+            # nu_tilde): merit-ramp / adjoint semantics stay unchanged.
+            nu = jnp.stack(_tri_r_solve(R_eq, nu))
 
         # Expand the state step by the forward recursion.
         dx = -pin

@@ -106,28 +106,18 @@ def _tiny_spd_solve(S, b):
     return jnp.stack([x[i] * s[i] for i in range(n)])
 
 
-def _qr_gram_factor(T):
-    """Factor a tall-skinny static-width ``T`` — ``(m, n)`` or
-    ``(m, n, B)`` (lanes layout, trailing batch) — and return
-    ``solve(b)`` computing ``(T^T T)^{-1} b`` via the R factor of a
-    2-pass MGS QR plus unrolled triangular substitutions.
+def _mgs_qr(T):
+    """2-pass modified-Gram-Schmidt QR of a tall-skinny static-width
+    ``T`` — ``(m, n)`` or ``(m, n, B)`` (lanes layout, trailing batch).
 
-    The point is NEVER forming the Gram matrix: a Cholesky of
-    ``A C^{-1} A^T + D`` sees cond(Gram) = cond(T)^2 — measured ~1e7+
-    (equilibrated) for the double pole's terminal rows across a
-    60-sample window, i.e. O(1)-wrong f32 steps no matter how the solve
-    is refined, because the f32 Gram ENTRIES already carry the damage.
-    QR touches only ``T`` itself (cond ~ sqrt of that), and two MGS
-    passes ("twice is enough") restore orthogonality to ~eps in f32, so
-    the attainable step error drops from cond*eps ~ O(1) to
-    sqrt(cond)*eps ~ 1e-4. Cost: ~n^2 fused dot-products over the lane
-    axis, n <= 7 static.
-
-    Columns of ``T`` are guaranteed independent by construction here
-    (every terminal row contributes a ``sqrt(D_i) e_i`` tail row), but a
-    relative floor on the pivot guards rank collapse anyway."""
-    m, n = T.shape[0], T.shape[1]
-    del m
+    Returns ``(qs, R)``: ``qs`` a length-``n`` list of orthonormal
+    columns (each ``(m,)`` or ``(m, B)``) and ``R`` an ``n x n``
+    list-of-lists of per-instance scalars (upper triangular, ``R[i][j]``
+    set for ``i <= j``). Two MGS passes restore orthogonality to ~eps
+    ("twice is enough"); a relative floor on each pivot guards rank
+    collapse. All loops are static-width Python (n <= 7), so this lowers
+    to fused dot-products over the lane axis."""
+    n = T.shape[1]
     eps_rel = 1.0e-6 if T.dtype == jnp.float32 else 1.0e-14
     cols = [T[:, i] for i in range(n)]
     R = [[None] * n for _ in range(n)]
@@ -149,21 +139,60 @@ def _qr_gram_factor(T):
             R[i][j] = rj[i]
         R[j][j] = nrm
         qs.append(v / nrm)
+    return qs, R
+
+
+def _tri_rt_solve(R, b):
+    """Solve ``R^T y = b`` (forward substitution) for upper-triangular
+    ``R`` as produced by :func:`_mgs_qr`; ``b`` a length-``n`` stack
+    (``(n,)``, ``(n, B)``, or a list)."""
+    n = len(R)
+    y = [None] * n
+    for i in range(n):
+        acc = b[i]
+        for k in range(i):
+            acc = acc - R[k][i] * y[k]
+        y[i] = acc / R[i][i]
+    return y
+
+
+def _tri_r_solve(R, b):
+    """Solve ``R x = b`` (back substitution) for upper-triangular ``R``
+    as produced by :func:`_mgs_qr`."""
+    n = len(R)
+    x = [None] * n
+    for i in reversed(range(n)):
+        acc = b[i]
+        for k in range(i + 1, n):
+            acc = acc - R[i][k] * x[k]
+        x[i] = acc / R[i][i]
+    return x
+
+
+def _qr_gram_factor(T):
+    """Factor a tall-skinny static-width ``T`` — ``(m, n)`` or
+    ``(m, n, B)`` (lanes layout, trailing batch) — and return
+    ``solve(b)`` computing ``(T^T T)^{-1} b`` via the R factor of a
+    2-pass MGS QR plus unrolled triangular substitutions.
+
+    The point is NEVER forming the Gram matrix: a Cholesky of
+    ``A C^{-1} A^T + D`` sees cond(Gram) = cond(T)^2 — measured ~1e7+
+    (equilibrated) for the double pole's terminal rows across a
+    60-sample window, i.e. O(1)-wrong f32 steps no matter how the solve
+    is refined, because the f32 Gram ENTRIES already carry the damage.
+    QR touches only ``T`` itself (cond ~ sqrt of that), and two MGS
+    passes ("twice is enough") restore orthogonality to ~eps in f32, so
+    the attainable step error drops from cond*eps ~ O(1) to
+    sqrt(cond)*eps ~ 1e-4. Cost: ~n^2 fused dot-products over the lane
+    axis, n <= 7 static.
+
+    Columns of ``T`` are guaranteed independent by construction here
+    (every terminal row contributes a ``sqrt(D_i) e_i`` tail row), but a
+    relative floor on the pivot guards rank collapse anyway."""
+    _qs, R = _mgs_qr(T)  # only the R factor enters the Gram solve
 
     def solve(b):
-        y = [None] * n
-        for i in range(n):
-            acc = b[i]
-            for k in range(i):
-                acc = acc - R[k][i] * y[k]
-            y[i] = acc / R[i][i]
-        x = [None] * n
-        for i in reversed(range(n)):
-            acc = y[i]
-            for k in range(i + 1, n):
-                acc = acc - R[i][k] * x[k]
-            x[i] = acc / R[i][i]
-        return jnp.stack(x)
+        return jnp.stack(_tri_r_solve(R, _tri_rt_solve(R, b)))
 
     return solve
 
@@ -610,6 +639,18 @@ class MPCProblemSpec:
                 c_term = jnp.zeros((0,), dtype)
                 c_bar = jnp.zeros((0,), dtype)
 
+            R_eq = None
+            if n_t and p.rebase_equalities:
+                # Constraint-space re-basing (OptimizationParams.
+                # rebase_equalities): A_bar^T = Q R, so the rows of Q^T
+                # are orthonormal and {A du = -c} = {Q^T du = -R^{-T} c}.
+                # Exact-arithmetic step unchanged; the equality block of
+                # the Schur factor T below gets orthonormal columns by
+                # construction instead of cond(A_bar).
+                qs_eq, R_eq = _mgs_qr(A_bar.T)
+                A_bar = jnp.stack(qs_eq)
+                c_bar = jnp.stack(_tri_rt_solve(R_eq, c_bar))
+
             # Full constraint values at z (same layout as constraints()):
             # the condensing rollout already produced defect and pin, so the
             # solver needs no separate evaluate() per iteration.
@@ -663,6 +704,11 @@ class MPCProblemSpec:
                 mu = jnp.zeros((0,), dtype)
                 du = -Cig
             nu_bar = mu[n_tc:]
+            if R_eq is not None:
+                # Back to the ORIGINAL equality multipliers: A^T nu =
+                # (R^{-T} A)^T nu_tilde requires nu = R^{-1} nu_tilde, so
+                # the merit-ramp / adjoint semantics below are unchanged.
+                nu_bar = jnp.stack(_tri_r_solve(R_eq, nu_bar))
 
             # Expand: forward recursion for the state step.
             def expand(carry, inp):

@@ -120,3 +120,60 @@ class TestClosedLoopAutoReset:
         np.testing.assert_array_equal(
             np.asarray(res_a.controls), np.asarray(res_b.controls)
         )
+
+
+class TestKnockdownDetector:
+    """Plant-state knockdown detection (distinct from solver failure):
+    MPC.knockdown_mask / knockdown_report. Characterization + reachability
+    evidence for the double-pole bench's residual ~1% stuck set lives in
+    scripts/probe_knockdowns.py / probe_knockdown_reachability.py."""
+
+    def test_mask_flags_fallen_not_upright(self):
+        mpc = make_mpc(OptimizationParams(state_spacing=5))
+        up = np.array([0.0, np.pi / 2, 0.0, 0.0])
+        tilted = np.array([0.0, np.pi / 2 + 0.3, 0.0, 0.0])
+        x = jnp.asarray(np.stack([up, DOWN, tilted]))
+        mask = np.asarray(mpc.knockdown_mask(x))
+        np.testing.assert_array_equal(mask, [False, True, False])
+        # Tighter threshold flags the tilted instance too.
+        mask_tight = np.asarray(mpc.knockdown_mask(x, angle_threshold=0.2))
+        np.testing.assert_array_equal(mask_tight, [False, True, True])
+
+    def test_mask_wraps_angles(self):
+        """2*pi-aliased upright must not be flagged (mod_pi wrap)."""
+        mpc = make_mpc(OptimizationParams(state_spacing=5))
+        aliased = jnp.asarray([[0.0, np.pi / 2 + 2 * np.pi, 0.0, 0.0]])
+        assert not bool(np.asarray(mpc.knockdown_mask(aliased))[0])
+
+    def test_report_first_tick_and_stuck(self):
+        mpc = make_mpc(OptimizationParams(state_spacing=5))
+        T = 12
+        up = [0.0, np.pi / 2, 0.0, 0.0]
+        down = [0.0, -np.pi / 2, 0.0, 0.0]
+        traj = np.stack([
+            np.tile(up, (T, 1)),                           # never down
+            np.concatenate([np.tile(up, (4, 1)),
+                            np.tile(down, (T - 4, 1))]),   # falls at t=4
+            np.concatenate([np.tile(down, (3, 1)),
+                            np.tile(up, (T - 3, 1))]),     # recovers
+        ])
+        down_m, first, stuck = mpc.knockdown_report(
+            jnp.asarray(traj), stuck_after=5
+        )
+        np.testing.assert_array_equal(np.asarray(first), [-1, 4, 0])
+        np.testing.assert_array_equal(np.asarray(stuck),
+                                      [False, True, False])
+        assert np.asarray(down_m).shape == (3, T)
+
+    def test_report_on_real_closed_loop(self):
+        """Swing-up trajectory: down early, up at the end, not stuck."""
+        mpc = make_mpc(OptimizationParams(max_iterations=6, state_spacing=5))
+        dp = default_single_params(jnp.float64)
+        res = jax.jit(
+            lambda x: run_closed_loop(mpc, x, dp, 120)
+        )(jnp.asarray(DOWN))
+        down_m, first, stuck = mpc.knockdown_report(
+            np.asarray(res.states)[None], stuck_after=20
+        )
+        assert int(np.asarray(first)[0]) == 0
+        assert not bool(np.asarray(stuck)[0])
