@@ -250,12 +250,16 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="run on the real TPU (default forces CPU)")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--parts", default="ABC",
+                    help="which parts to run (subset of 'ABC')")
     args = ap.parse_args()
 
     out = {"batch": args.batch, "ticks": args.ticks}
-    part_a_conditioning(out)
-    part_b_step_accuracy(out)
-    if not args.skip_loop:
+    if "A" in args.parts:
+        part_a_conditioning(out)
+    if "B" in args.parts:
+        part_b_step_accuracy(out)
+    if "C" in args.parts and not args.skip_loop:
         part_c_closed_loop(out, args.batch, args.ticks)
     if args.json:
         with open(args.json, "w") as f:

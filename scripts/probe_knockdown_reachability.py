@@ -16,8 +16,12 @@ states (knockdowns.json):
      (the passing test, tests/test_double_mpc.py::test_swingup_closed_loop,
      requires 600).
 
+Part A (f32, the deployment dtype) runs on the TPU with --tpu; parts B/C
+are f64 reachability questions and default to CPU (f64 double-pole
+compiles over the TPU tunnel have hung >35 min).
+
 Usage: python scripts/probe_knockdown_reachability.py
-       [--stuck knockdowns.json] [--json out.json]
+       [--stuck knockdowns.json] [--json out.json] [--parts ABC]
 """
 
 import argparse
@@ -38,6 +42,8 @@ _CACHE_DIR = os.path.join(
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 jax.config.update("jax_enable_x64", True)
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -101,6 +107,11 @@ def main():
     ap.add_argument("--stuck", default="knockdowns.json")
     ap.add_argument("--ticks", type=int, default=300)
     ap.add_argument("--json", default="knockdown_reachability.json")
+    ap.add_argument("--parts", default="ABC",
+                    help="which experiments to run (subset of 'ABC')")
+    ap.add_argument("--tpu", action="store_true",
+                    help="run on the real TPU (default forces CPU; "
+                    "use for part A, the f32 deployment-dtype case)")
     args = ap.parse_args()
 
     with open(args.stuck) as f:
@@ -113,6 +124,23 @@ def main():
     print(f"{n} stuck states loaded")
 
     # A) soft config, u_limit 600, f32 (the deployment dtype)
+    if "A" in args.parts:
+        _part_a(out, xs, n, args)
+
+    # B) swing-up config (hard eqs + sinusoid cold start), u 300, f64
+    if "B" in args.parts:
+        _part_b(out, xs, n, args)
+
+    # C) clean hang, swing-up config, u 300 vs 600, f64
+    if "C" in args.parts:
+        _part_c(out, args)
+
+    with open(args.json, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"-> {args.json}")
+
+
+def _part_a(out, xs, n, args):
     mpc = make_mpc(OptimizationParams(u_limit=600.0, **SOFT),
                    get_model("double"))
     xf, failed = _run_chunked(mpc, xs, jnp.float32, args.ticks)
@@ -121,7 +149,8 @@ def main():
     out["soft_ulimit600_failed_solves"] = failed
     print(f"A) soft+u600   : {rec}/{n} recovered  (failed solves {failed})")
 
-    # B) swing-up config (hard eqs + sinusoid cold start), u 300, f64
+
+def _part_b(out, xs, n, args):
     mpc = make_mpc(OptimizationParams(**SWINGUP), get_model("double"))
     xf, failed = _run_chunked(mpc, xs, jnp.float64, args.ticks)
     rec = int(_upright(xf)[:n].sum())
@@ -129,7 +158,8 @@ def main():
     out["swingup_u300_failed_solves"] = failed
     print(f"B) swingup u300: {rec}/{n} recovered  (failed solves {failed})")
 
-    # C) clean hang, swing-up config, u 300 vs 600, f64
+
+def _part_c(out, args):
     hang = np.tile(np.array([0.0, -UP, -UP, 0.0, 0.0, 0.0]), (8, 1))
     hang[:, 0] += np.linspace(-0.1, 0.1, 8)
     for ul in (300.0, 600.0):
@@ -139,10 +169,6 @@ def main():
         rec = int(_upright(xf).sum())
         out[f"hang_swingup_u{ul:g}_recovered"] = rec
         print(f"C) hang u{ul:g}: {rec}/8 swing up  (failed solves {failed})")
-
-    with open(args.json, "w") as f:
-        json.dump(out, f, indent=1)
-    print(f"-> {args.json}")
 
 
 if __name__ == "__main__":
