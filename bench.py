@@ -38,6 +38,22 @@ import numpy as np
 
 BASELINE_SOLVES_PER_S = 100.0  # 1 solve / 10 ms real-time budget, 1 thread.
 
+#: The multi-link disturbance-rejection regime (shared with the probe
+#: scripts so they always characterize the regime the bench actually
+#: runs): 0.6 s window (the 0.4 s default leaves double-pole
+#: perturbations on the edge of the region of attraction,
+#: tests/test_double_mpc.py), ALL terminal objectives as soft costs (the
+#: reference's positive-weight mode; the double pole's 5-row hard
+#: terminal equality set is multiplier-ill-posed on the f32 deployment
+#: dtype, docs/PARITY.md), and no swing-up sinusoid kick.
+DOUBLE_SOFT_OPT_KWARGS = dict(
+    window_length=60,
+    th_final_cost_weight=150.0,
+    th_dot_final_cost_weight=10.0,
+    b_x_dot_final_cost_weight=10.0,
+    u_guess_sinusoid_amplitude=0.0,
+)
+
 # Persistent compilation cache: the tunneled-TPU AOT compile of the
 # closed-loop program costs minutes; cached runs skip it entirely.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -46,15 +62,18 @@ jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
-def _make_x0s(args, n, dtype, seed=0):
+def make_x0s(model, n, dtype, seed=0):
+    """Bench initial states (shared with the probe scripts): swing-up from
+    hang for the single model, perturbed-upright disturbance rejection for
+    the multi-link models."""
     rng = np.random.RandomState(seed)
-    if args.model == "triple":
+    if model == "triple":
         up = math.pi / 2
         x0s = np.tile(np.array([0.0, up, up, up, 0.0, 0.0, 0.0, 0.0]),
                       (n, 1))
         x0s[:, 0] += rng.uniform(-0.2, 0.2, n)
         x0s[:, 1:4] += rng.uniform(-0.06, 0.06, (n, 3))
-    elif args.model == "double":
+    elif model == "double":
         # Perturbed-upright stabilization: double-pole swing-up from hang
         # is covered in tests/test_double_mpc.py; the bench regime is the
         # (much more common in deployment) disturbance-rejection loop.
@@ -85,24 +104,10 @@ def _build_runner(args, ticks, kkt, dtype, dp):
         max_iterations=8, state_spacing=args.spacing, kkt_method=kkt
     )
     if args.model in ("double", "triple"):
-        # The 0.4 s default window leaves double-pole perturbations on the
-        # edge of the region of attraction (tests/test_double_mpc.py).
-        opt_kwargs["window_length"] = 60
-        # Disturbance-rejection configuration: ALL terminal objectives as
-        # soft costs (the reference's positive-weight mode) and no
-        # swing-up sinusoid kick. The double pole's 5-row hard terminal
-        # equality set is near-singular across a 0.6 s window (multiplier
-        # norms ~1e4), which is multiplier-ill-posed on the f32
-        # deployment dtype; the soft mode is numerically sound there
-        # (tests/test_soft_terminal.py) and is what a deployment of this
-        # regime would run. Measured v5e f32 batch 4096: fraction_upright
-        # 0.978@250 ticks -> 0.992@500 with zero failed solves.
-        opt_kwargs.update(
-            th_final_cost_weight=150.0,
-            th_dot_final_cost_weight=10.0,
-            b_x_dot_final_cost_weight=10.0,
-            u_guess_sinusoid_amplitude=0.0,
-        )
+        # See DOUBLE_SOFT_OPT_KWARGS. Measured v5e f32 batch 4096:
+        # fraction_upright 0.978@250 ticks -> 0.992@500, zero failed
+        # solves (knockdowns.json has the full recovery curve).
+        opt_kwargs.update(DOUBLE_SOFT_OPT_KWARGS)
     mpc = make_mpc(OptimizationParams(**opt_kwargs), get_model(args.model))
     # ``dp`` is captured as a closure CONSTANT, not a traced argument:
     # XLA then constant-folds the parameter arithmetic inside the
@@ -188,13 +193,18 @@ def _peak_hbm_gbps(dev):
     return None
 
 
-def _cost_metrics(run, example_args, ticks, best_s, dev):
+def _cost_metrics(run, example_args, ticks, best_s, dev, run_desc):
     """Machine-readable perf-floor fields from XLA's cost analysis.
 
     ``bytes accessed`` is the compiled program's post-fusion HBM traffic
     estimate; dividing by the measured wall time gives achieved bandwidth,
     and the ratio to the chip's peak is how close the program sits to the
-    memory-bound speed-of-light. Returns {} when unavailable (CPU)."""
+    memory-bound speed-of-light. Returns {} when cost analysis is
+    unavailable. ``run_desc`` identifies the operating point (batch /
+    model / kkt / layout / dtype) so the phase-floor comparison is only
+    emitted when the committed floor artifact was measured at the SAME
+    point — a v5e single-model batch-4096 floor says nothing about a CPU
+    smoke run or a double-pole sweep."""
     try:
         comp = run.lower(*example_args).compile()
         ca = comp.cost_analysis()
@@ -215,14 +225,19 @@ def _cost_metrics(run, example_args, ticks, best_s, dev):
         out["hbm_util"] = round(bytes_total / best_s / 1e9 / peak, 4)
     # Device-phase floor measured by scripts/phase_timing.py --json (the
     # phase-sum of the tick's constituent programs, CLAUDE.md's 6.26 ms):
-    # ratio of that floor to the measured tick = how much is left.
+    # ratio of that floor to the measured tick = how much is left. Only
+    # comparable when the floor was measured at THIS operating point.
     floor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "phase_floor.json")
     if os.path.exists(floor_path):
         with open(floor_path) as f:
             floor = json.load(f)
         tick_ms = best_s / ticks * 1e3
-        if floor.get("batch") and floor.get("phase_sum_ms"):
+        matches = floor.get("phase_sum_ms") and all(
+            floor.get(k) == run_desc[k] for k in run_desc
+        ) and getattr(dev, "device_kind", "") == floor.get(
+            "device_kind", object())
+        if matches:
             out["phase_floor_ratio"] = round(
                 floor["phase_sum_ms"] / tick_ms, 4)
             out["phase_floor_ms"] = floor["phase_sum_ms"]
@@ -297,7 +312,7 @@ def main(argv=None):
 
     n, ticks = args.batch, args.ticks
     mpc, run, layout = _build_runner(args, ticks, args.kkt, dtype, dp)
-    x0s = _make_x0s(args, n, dtype)
+    x0s = make_x0s(args.model, n, dtype)
     sps = jnp.zeros((n,), dtype)
     st0 = _cold_state(mpc, n, dtype)
 
@@ -329,7 +344,11 @@ def main(argv=None):
         upright_failed = total_failed
         upright_ticks_run = ticks_run
 
-    cost = _cost_metrics(run, (x0s, sps, st0), ticks, best, dev)
+    cost = _cost_metrics(
+        run, (x0s, sps, st0), ticks, best, dev,
+        run_desc={"batch": n, "model": args.model, "kkt_method": args.kkt,
+                  "layout": layout, "dtype": str(np.dtype(dtype).name)},
+    )
 
     # Double-pole health rides along with the default single-model run so
     # the driver's one-line artifact captures BOTH regimes (VERDICT r2
@@ -385,11 +404,15 @@ def _double_health(args, dtype, dp_model="double"):
     )
     n, ticks = dargs.batch, dargs.ticks
     mpc, run, _layout = _build_runner(dargs, ticks, dargs.kkt, dtype, dp)
-    x0s = _make_x0s(dargs, n, dtype)
+    x0s = make_x0s(dargs.model, n, dtype)
     sps = jnp.zeros((n,), dtype)
     st0 = _cold_state(mpc, n, dtype)
     best, res = _time_run(run, x0s, sps, st0, dargs.reps)
     total_failed = _health(res)
+    out = {"double_solves_per_s": round(n * ticks / best, 1)}
+    if dargs.no_upright:
+        # Timing-only run: honor --no-upright for the ride-along too.
+        return {**out, "double_n_failed": total_failed}
     x, st = res.final_state, res.final_mpc_state
     ticks_run = ticks
     while ticks_run < dargs.upright_ticks:
@@ -400,7 +423,7 @@ def _double_health(args, dtype, dp_model="double"):
         total_failed += _health(res_c)
     np.asarray(x[:4])
     return {
-        "double_solves_per_s": round(n * ticks / best, 1),
+        **out,
         "double_fraction_upright": round(
             _upright_fraction(x, mpc.model.angle_indices), 4),
         "double_upright_ticks": ticks_run,
@@ -415,7 +438,7 @@ def _sweep(args, dp, dtype, dev):
     batches = (64, 256, 1024, 4096, 16384)
     for n in batches:
         mpc, run, layout = _build_runner(args, args.ticks, args.kkt, dtype, dp)
-        x0s = _make_x0s(args, n, dtype)
+        x0s = make_x0s(args.model, n, dtype)
         sps = jnp.zeros((n,), dtype)
         st0 = _cold_state(mpc, n, dtype)
         best, res = _time_run(run, x0s, sps, st0, args.reps)

@@ -16,11 +16,13 @@ REPO = Path(__file__).resolve().parent.parent
 
 def main() -> int:
     ns = runpy.run_path(str(REPO / "cartpole_tpu" / "web" / "page.py"))
-    m = re.search(r"<script>(.*)</script>", ns["PAGE_HTML"], re.DOTALL)
-    if not m:
+    # Non-greedy per-block match: a second <script> block must come out as
+    # its own block, never as script+HTML+script under one greedy span.
+    blocks = re.findall(r"<script>(.*?)</script>", ns["PAGE_HTML"], re.DOTALL)
+    if not blocks:
         print("no <script> block found in PAGE_HTML", file=sys.stderr)
         return 1
-    sys.stdout.write(m.group(1))
+    sys.stdout.write("\n;\n".join(blocks))
     return 0
 
 

@@ -172,6 +172,8 @@ def main(argv):
     for f in files:
         if "_gen.py" in f.name:  # machine-generated modules
             continue
+        if "_build" in f.parts or ".jax_cache" in f.parts:
+            continue  # build/cache outputs are not repository sources
         checker = lint_cpp_file if f.suffix in (".cc", ".h", ".hpp") else lint_file
         for lineno, msg in checker(f):
             print(f"{f}:{lineno}: {msg}")

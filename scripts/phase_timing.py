@@ -252,7 +252,13 @@ def main():
         import json
         with open(args.json, "w") as f:
             json.dump({
+                # Operating-point fields: bench.py only emits
+                # phase_floor_ratio when these match its own run.
                 "batch": B,
+                "model": "single",
+                "kkt_method": "condensed",
+                "layout": "lanes",
+                "dtype": "float32",
                 "phase_sum_ms": round(model * 1e3, 3),
                 "measured_tick_ms": round(t_tick * 1e3, 3),
                 "phases_ms": {

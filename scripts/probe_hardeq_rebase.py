@@ -58,15 +58,20 @@ UP = math.pi / 2
 #: Negative weights => equality rows (reference sign convention,
 #: optimization.cc:236-267): th1, th2, b_x_dot, th1_dot, th2_dot — the 5
 #: near-dependent rows.
+#: Derived from the bench's soft regime so the window/cold-start skeleton
+#: can never desynchronize; only the weight SIGNS differ.
+from bench import DOUBLE_SOFT_OPT_KWARGS  # noqa: E402
+
 HARD_EQ = dict(
     max_iterations=8,
     state_spacing=5,
-    window_length=60,
     kkt_method="condensed",
-    th_final_cost_weight=-1.0,
-    th_dot_final_cost_weight=-1.0,
-    b_x_dot_final_cost_weight=-1.0,
-    u_guess_sinusoid_amplitude=0.0,
+    **{
+        **DOUBLE_SOFT_OPT_KWARGS,
+        "th_final_cost_weight": -1.0,
+        "th_dot_final_cost_weight": -1.0,
+        "b_x_dot_final_cost_weight": -1.0,
+    },
 )
 
 

@@ -14,7 +14,10 @@ states (knockdowns.json):
   C) swing-up from clean HANG at u_limit 300 vs 600 (f64): whether
      double-pole swing-up at 300 is feasible for this controller AT ALL
      (the passing test, tests/test_double_mpc.py::test_swingup_closed_loop,
-     requires 600).
+     requires 600);
+  E) energy analysis of the stuck states (pure NumPy, always runs): total
+     mechanical energy vs the hang->upright gap, |th_dot| and |b_x|
+     extrema, and the assembled verdict string.
 
 Part A (f32, the deployment dtype) runs on the TPU with --tpu; parts B/C
 are f64 reachability questions and default to CPU (f64 double-pole
@@ -90,11 +93,11 @@ def _run_chunked(mpc, x0s, dtype, ticks):
     return np.asarray(x), failed
 
 
+from bench import DOUBLE_SOFT_OPT_KWARGS  # noqa: E402 - the bench regime
+
 SOFT = dict(
     max_iterations=8, state_spacing=5, kkt_method="condensed",
-    window_length=60, th_final_cost_weight=150.0,
-    th_dot_final_cost_weight=10.0, b_x_dot_final_cost_weight=10.0,
-    u_guess_sinusoid_amplitude=0.0,
+    **DOUBLE_SOFT_OPT_KWARGS,
 )
 SWINGUP = dict(
     max_iterations=10, state_spacing=5, kkt_method="condensed",
@@ -115,7 +118,8 @@ def main():
     args = ap.parse_args()
 
     with open(args.stuck) as f:
-        stuck = np.asarray(json.load(f)["stuck_states"])
+        kd = json.load(f)
+    stuck = np.asarray(kd["stuck_states"])
     n = len(stuck)
     # Pad to a multiple of 8 lanes with copies (dropped in the readout).
     pad = (-n) % 8
@@ -135,9 +139,80 @@ def main():
     if "C" in args.parts:
         _part_c(out, args)
 
+    # E) energy analysis + verdict (pure NumPy; always reproducible)
+    _part_energy(out, stuck, kd)
+
     with open(args.json, "w") as f:
         json.dump(out, f, indent=1)
     print(f"-> {args.json}")
+
+
+def _double_energy(x):
+    """Total mechanical energy of the cart + two-link pole (point masses
+    at the link tips, the model of ``models/params.py::DoubleCartPoleParams``;
+    PE zero at the cart rail). State rows are
+    ``[b_x, th_1, th_2, b_x_dot, th_1_dot, th_2_dot]``, upright = pi/2."""
+    p = get_model("double").default_params()
+    b_d, th1, th2 = x[:, 3], x[:, 1], x[:, 2]
+    th1_d, th2_d = x[:, 4], x[:, 5]
+    v1 = np.stack([b_d - p.l_1 * np.sin(th1) * th1_d,
+                   p.l_1 * np.cos(th1) * th1_d])
+    v2 = v1 + np.stack([-p.l_2 * np.sin(th2) * th2_d,
+                        p.l_2 * np.cos(th2) * th2_d])
+    ke = 0.5 * (p.m_b * b_d ** 2 + p.m_1 * np.sum(v1 ** 2, axis=0)
+                + p.m_2 * np.sum(v2 ** 2, axis=0))
+    pe = p.g * (p.m_1 * p.l_1 * np.sin(th1)
+                + p.m_2 * (p.l_1 * np.sin(th1) + p.l_2 * np.sin(th2)))
+    return ke + pe
+
+
+def _part_energy(out, stuck, kd):
+    """Why the stuck set is unrecoverable: excess mechanical energy."""
+    e = _double_energy(stuck)
+    up = _double_energy(np.array([[0.0, UP, UP, 0.0, 0.0, 0.0]]))[0]
+    hang = _double_energy(np.array([[0.0, -UP, -UP, 0.0, 0.0, 0.0]]))[0]
+    gap = up - hang  # the entire hang->upright swing-up quantum
+    excess = (e - up) / gap
+    th_dot_max = float(np.abs(stuck[:, 4:6]).max())
+    b_x_max = float(np.abs(stuck[:, 0]).max())
+    out.update({
+        "energy_upright_rest": round(float(up), 2),
+        "energy_hang_rest": round(float(hang), 2),
+        "stuck_energy_median": round(float(np.median(e)), 1),
+        "stuck_energy_max": round(float(e.max()), 1),
+        "stuck_excess_energy_vs_swingup_gap_median_x":
+            round(float(np.median(excess)), 1),
+        "stuck_excess_energy_vs_swingup_gap_max_x":
+            round(float(excess.max()), 1),
+    })
+    kicks = sorted(
+        kd.get(k, 0) for k in
+        ("kick_50_recovered", "kick_150_recovered", "kick_300_recovered")
+    )
+    out["conclusion"] = (
+        "The stuck set is high-energy tumbling (|th_dot| up to "
+        f"{th_dot_max:.0f} rad/s, median "
+        f"{out['stuck_excess_energy_vs_swingup_gap_median_x']:g}x / max "
+        f"{out['stuck_excess_energy_vs_swingup_gap_max_x']:g}x the entire "
+        "hang->upright energy gap as EXCESS energy), not rail-pinned "
+        f"(|b_x| <= {b_x_max:.1f} of 5.0) and not force- or "
+        "config-limited: clean-hang swing-up at u_limit 300 succeeds "
+        f"{out.get('hang_swingup_u300_recovered', '?')}/8, while NO "
+        "intervention on the stuck states (control "
+        f"{kd.get('control_recovered', '?')}/{out['n_stuck']}, sinusoid "
+        f"kicks {kicks[0]}-{kicks[-1]}/{out['n_stuck']} at amplitudes "
+        "50/150/300, u_limit 600 "
+        f"{out.get('soft_ulimit600_recovered', '?')}/{out['n_stuck']}, "
+        "full f64 swing-up config "
+        f"{out.get('swingup_u300_recovered', '?')}/{out['n_stuck']}) beats "
+        "the chaotic do-nothing baseline. Dissipating tens of swing-up "
+        "quanta through the cart coupling on a 0.6 s receding horizon is "
+        "outside the controller's authority; the product answer is "
+        "detection (MPC.knockdown_mask/knockdown_report)."
+    )
+    print(f"E) energy: median {out['stuck_energy_median']} / max "
+          f"{out['stuck_energy_max']} J (gap {gap:.2f} J); "
+          f"|th_dot|max {th_dot_max:.0f} rad/s, |b_x|max {b_x_max:.1f}")
 
 
 def _part_a(out, xs, n, args):

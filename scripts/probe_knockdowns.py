@@ -53,8 +53,10 @@ TICKS_PER_CHUNK = 50  # bench operating point; long programs crash the tunnel
 
 
 def _bench_double_mpc():
-    """EXACTLY bench.py's double-pole configuration (shares its compile
-    cache entry and its measured regime)."""
+    """EXACTLY bench.py's double-pole configuration — imported from
+    bench.py so the probe can never desynchronize from the regime the
+    bench actually runs (and shares its compile cache entry)."""
+    from bench import DOUBLE_SOFT_OPT_KWARGS
     from cartpole_tpu import OptimizationParams, get_model, make_mpc
 
     return make_mpc(
@@ -62,23 +64,16 @@ def _bench_double_mpc():
             max_iterations=8,
             state_spacing=5,
             kkt_method="condensed",
-            window_length=60,
-            th_final_cost_weight=150.0,
-            th_dot_final_cost_weight=10.0,
-            b_x_dot_final_cost_weight=10.0,
-            u_guess_sinusoid_amplitude=0.0,
+            **DOUBLE_SOFT_OPT_KWARGS,
         ),
         get_model("double"),
     )
 
 
 def _bench_x0s(n, dtype, seed=0):
-    rng = np.random.RandomState(seed)
-    x0s = np.tile(np.array([0.0, UP, UP, 0.0, 0.0, 0.0]), (n, 1))
-    x0s[:, 0] += rng.uniform(-0.3, 0.3, n)
-    x0s[:, 1] += rng.uniform(-0.15, 0.15, n)
-    x0s[:, 2] += rng.uniform(-0.1, 0.1, n)
-    return jnp.asarray(x0s, dtype)
+    from bench import make_x0s
+
+    return make_x0s("double", n, dtype, seed)
 
 
 def _upright_mask(xf):
@@ -140,10 +135,19 @@ def main():
         print(f"tick {ticks:4d}: upright {m.mean():.4f}", flush=True)
     print(f"base run {time.time()-t0:.0f}s, failed solves {n_failed}")
 
-    down250 = ~masks[250]
-    down500 = ~masks[args.total_ticks]
-    recovered = down250 & masks[args.total_ticks]
-    print(f"down@250 {down250.sum()}  down@{args.total_ticks} "
+    # The knockdown census compares an intermediate snapshot (250 ticks,
+    # the bench's upright-fraction point) against the final one; fall back
+    # to the midpoint chunk when --total-ticks < 250.
+    mid = 250 if 250 in masks else min(
+        masks, key=lambda t: abs(t - args.total_ticks // 2))
+    if mid != 250:
+        print(f"note: --total-ticks {args.total_ticks} < 250; using the "
+              f"tick-{mid} snapshot for the census")
+    down250 = ~masks[mid]
+    final_tick = ticks  # last chunk boundary (>= --total-ticks)
+    down500 = ~masks[final_tick]
+    recovered = down250 & masks[final_tick]
+    print(f"down@{mid} {down250.sum()}  down@{final_tick} "
           f"{down500.sum()}  self-recovered {recovered.sum()}")
 
     # stuck-set state snapshot for the record
@@ -185,7 +189,7 @@ def main():
         x_k = continue_run(x, st_k, args.extra_ticks)
         m_k = _upright_mask(x_k)
         rec = int((m_k & down500).sum())
-        knocked = int((~m_k & masks[args.total_ticks]).sum())
+        knocked = int((~m_k & masks[final_tick]).sum())
         results[f"kick_{amp:g}_recovered"] = rec
         results[f"kick_{amp:g}_collateral_knockdowns"] = knocked
         print(f"kick amp {amp:5g} +{args.extra_ticks}: stuck recovered "

@@ -28,9 +28,12 @@ from cartpole_tpu.web.page import PAGE_HTML
 
 @pytest.fixture(scope="module")
 def script():
-    m = re.search(r"<script>(.*)</script>", PAGE_HTML, re.DOTALL)
-    assert m, "PAGE_HTML must contain exactly one <script> block"
-    return m.group(1)
+    # Non-greedy per-block match — a greedy (.*) would silently span
+    # script1 + interleaved HTML + script2 if a second block appeared.
+    blocks = re.findall(r"<script>(.*?)</script>", PAGE_HTML, re.DOTALL)
+    assert len(blocks) == 1, \
+        f"PAGE_HTML must contain exactly one <script> block, found {len(blocks)}"
+    return blocks[0]
 
 
 @pytest.fixture(scope="module")
