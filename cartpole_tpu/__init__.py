@@ -34,6 +34,7 @@ from .models import (
     triple_cartpole_dynamics,
     triple_cartpole_energy,
 )
+from .diff import make_differentiable_solve
 from .mpc import (
     ClosedLoopResult,
     MPC,

@@ -153,9 +153,17 @@ class TestTripleMPC:
         assert np.abs(xf[4:]).max() < 5e-2
         assert abs(xf[0]) < 0.1
 
-    def test_lanes_path_matches_and_stabilizes(self):
+    def test_lanes_path_matches_vmapped(self):
         """Batch-in-lanes condensed fast path on the 8-state model: healthy
-        solves and the same stabilization outcome as the vmapped path."""
+        solves and tick-for-tick agreement with the vmapped reference path
+        over 30 closed-loop ticks (measured f64 deviation ~2e-15/tick,
+        scripts/probe_triple_lanes.py). Stabilization itself is the
+        vmapped sibling test's job: an equivalent-to-1e-13 fast path
+        stabilizes exactly when the reference path does. (A ±0.06
+        simultaneous perturbation of all three links is OUTSIDE this
+        config's region of attraction — both paths diverge identically —
+        so the perturbations here are equivalence fodder, not a recovery
+        claim.)"""
         mpc = make_mpc(_stabilization_params(), TRIPLE_CARTPOLE)
         dp = default_triple_params(jnp.float64)
         rng = np.random.RandomState(11)
@@ -165,10 +173,18 @@ class TestTripleMPC:
         )
         x0s[:, 1:4] += rng.uniform(-0.06, 0.06, (B, 3))
         x0s = jnp.asarray(x0s)
-        res = jax.jit(
-            lambda x: run_closed_loop_lanes(mpc, x, dp, 150)
+        ticks = 30
+        res_l = jax.jit(
+            lambda x: run_closed_loop_lanes(mpc, x, dp, ticks)
         )(x0s)
-        _no_failures(res.termination_states)
-        xf = np.asarray(res.final_state)
-        assert np.abs(xf[:, 1:4] - UP).max() < 2e-2
-        assert np.abs(xf[:, 4:]).max() < 0.2
+        res_v = jax.jit(
+            jax.vmap(lambda x: run_closed_loop(mpc, x, dp, ticks))
+        )(x0s)
+        _no_failures(res_l.termination_states)
+        _no_failures(res_v.termination_states)
+        xl = np.asarray(res_l.final_state)
+        xv = np.asarray(res_v.final_state)
+        assert np.abs(xl - xv).max() < 1e-10, (xl, xv)
+        ul = np.asarray(res_l.controls)
+        uv = np.asarray(res_v.controls)
+        assert np.abs(ul - uv).max() < 1e-8
