@@ -540,15 +540,24 @@ class _LanesProblem:
         return dZ, nu_inf, first_order, jr_dz, ok, r, c_full
 
 
-def _solve_lanes(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
+def _solve_lanes(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
+                 fused: bool = False, fused_opts: dict | None = None):
     """The lanes analog of ``ops.solver.solve_nls`` — identical merit /
     line-search / damping / termination logic with explicit per-instance
-    ``(B,)`` scalars instead of ``vmap``."""
+    ``(B,)`` scalars instead of ``vmap``.
+
+    ``fused=True`` swaps the scan body for the single-Pallas-kernel GN
+    iteration of ``ops/fused.py`` (same carry, same traces — equivalence
+    is asserted by ``tests/test_fused.py``)."""
     with jax.default_matmul_precision("float32"):
-        return _solve_lanes_impl(problem, Z0, config)
+        return _solve_lanes_impl(
+            problem, Z0, config, fused=fused, fused_opts=fused_opts
+        )
 
 
-def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
+def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
+                      fused: bool = False,
+                      fused_opts: dict | None = None):
     dtype = Z0.u.dtype
     B = problem.B
     n_ls = config.max_line_search_iterations
@@ -679,6 +688,19 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
             trace,
         )
 
+    if fused:
+        from ..ops.fused import fused_supported, make_fused_iteration
+
+        if not fused_supported(problem, config):
+            raise ValueError(
+                "fused=True but this configuration is not covered by the "
+                "fused kernel (needs generated-core dynamics, scalar "
+                "dynamics params, rebase_equalities off)"
+            )
+        iteration = make_fused_iteration(
+            problem, config, **(fused_opts or {})
+        )
+
     init = (
         Z0,
         jnp.full((B,), config.lambda_initial, dtype),
@@ -716,7 +738,8 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig):
 
 # ---------------------------------------------------------------------- step
 def step_lanes(mpc: MPC, state: MPCState, x_current, dynamics_params,
-               b_x_set_point=0.0):
+               b_x_set_point=0.0, fused: bool = False,
+               fused_opts: dict | None = None):
     """Batched MPC step in the lanes layout — drop-in for
     ``vmap(mpc.step)``: inputs/outputs carry a LEADING batch axis
     (``state`` leaves ``(B, ...)``, ``x_current`` ``(B, sd)``); internally
@@ -786,7 +809,9 @@ def step_lanes(mpc: MPC, state: MPCState, x_current, dynamics_params,
     Z0 = _Z(xs=shoot, u=u_guess)
 
     problem = _LanesProblem(spec, xc, set_point, u_prev_cont, dynamics_params)
-    Z, solver_outputs = _solve_lanes(problem, Z0, mpc.nls_config)
+    Z, solver_outputs = _solve_lanes(
+        problem, Z0, mpc.nls_config, fused=fused, fused_opts=fused_opts
+    )
 
     u_out = Z.u  # (K, B)
     if core is not None:
@@ -884,6 +909,8 @@ def run_closed_loop_lanes(
     mpc_state: MPCState | None = None,
     auto_reset: bool = True,
     disturbances=None,
+    fused: bool = False,
+    fused_opts: dict | None = None,
 ) -> ClosedLoopResult:
     """Lanes-layout drop-in for ``vmap(run_closed_loop)``: ``x0`` is
     ``(B, sd)``, results carry a leading batch axis. One ``lax.scan`` over
@@ -911,7 +938,10 @@ def run_closed_loop_lanes(
 
     def body(carry, dist):
         x, st = carry  # x (sd, B), st batch-first MPCState
-        outputs, st2 = step_lanes(mpc, st, x.T, dynamics_params, set_point)
+        outputs, st2 = step_lanes(
+            mpc, st, x.T, dynamics_params, set_point,
+            fused=fused, fused_opts=fused_opts,
+        )
         u0 = outputs.u[:, 0]  # (B,)
         if auto_reset:
             failed = mpc.failure_mask(outputs)

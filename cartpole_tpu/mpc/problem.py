@@ -117,9 +117,23 @@ def _mgs_qr(T):
     ("twice is enough"); a relative floor on each pivot guards rank
     collapse. All loops are static-width Python (n <= 7), so this lowers
     to fused dot-products over the lane axis."""
-    n = T.shape[1]
-    eps_rel = 1.0e-6 if T.dtype == jnp.float32 else 1.0e-14
-    cols = [T[:, i] for i in range(n)]
+    if isinstance(T, (list, tuple)):
+        # Column-list form, used by the fused Pallas kernel
+        # (ops/fused.py): Mosaic miscompiles chained reductions fed by
+        # value-level slices of a stacked 3-D array, so the kernel never
+        # builds ``T`` — it passes the columns it already has.
+        cols = list(T)
+        n = len(cols)
+        eps_rel = 1.0e-6 if cols[0].dtype == jnp.float32 else 1.0e-14
+    else:
+        n = T.shape[1]
+        eps_rel = 1.0e-6 if T.dtype == jnp.float32 else 1.0e-14
+        # Static slice+squeeze instead of ``T[:, i]``: jnp int indexing
+        # lowers to dynamic_slice, which Mosaic cannot lower.
+        cols = [
+            jax.lax.squeeze(jax.lax.slice_in_dim(T, i, i + 1, axis=1), (1,))
+            for i in range(n)
+        ]
     R = [[None] * n for _ in range(n)]
     qs = []
     for j in range(n):
@@ -133,7 +147,7 @@ def _mgs_qr(T):
                 rj[i] = rj[i] + h
         nrm = jnp.sqrt(jnp.sum(v * v, axis=0))
         nrm = jnp.maximum(nrm, eps_rel * orig_norm + jnp.asarray(
-            1.0e-30, T.dtype
+            1.0e-30, cols[0].dtype
         ))
         for i in range(j):
             R[i][j] = rj[i]

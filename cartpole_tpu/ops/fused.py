@@ -1,0 +1,746 @@
+"""Fused Gauss-Newton-iteration Pallas megakernel for the lanes MPC path.
+
+Round 3's launch-floor probe (``scripts/probe_launch_floor.py`` /
+``launch_floor.json``) showed the 6.45 ms/tick device floor is NOT kernel
+launches (~2-3%) or while-trip overhead (~11%): it is the in-kernel time of
+~230 small XLA fusions per GN iteration round-tripping every intermediate
+through HBM at latency-bound sizes (measured 1.9 GB/s achieved vs 819 GB/s
+peak — ``hbm_util: 0.0024``). This module fuses ONE ENTIRE damped-GN
+iteration of the condensed lanes solver — segment rollout with chain-ruled
+analytic Jacobians, forward condensation, spectral augmented-KKT solve with
+one refinement step, step expansion, multiplier/first-order diagnostics,
+the 5-trial folded Armijo line search (rollouts included), acceptance, and
+LM damping — into a single Pallas TPU kernel. Every intermediate lives in
+VMEM/registers; HBM sees only the iteration carry (~250 KB per 512-lane
+tile).
+
+Semantics are IDENTICAL to ``mpc.lanes._solve_lanes_impl``'s scan body
+(same arithmetic, same op order wherever it affects f32 rounding);
+``tests/test_fused.py`` asserts trace-for-trace equivalence against the
+XLA path in f64 interpret mode and on-device f32. The kernel reuses the
+same building blocks the XLA path traces — the machine-generated
+closed-form dynamics (``models/_*_gen.py``), the rows-form RK4 chain rule
+(``ops.lanes.segment_rollout_with_jac_rows`` / ``rk4_step_rows``), and the
+MGS-QR Schur helpers (``mpc.problem``) — all of which are shape-polymorphic
+pure-jnp and lower cleanly through Mosaic.
+
+Reference capability: the hot loop of
+``/root/reference/optimization/optimization.cc:110-155`` plus the mini_opt
+inner iteration, executed as one fused device kernel per GN iteration.
+
+Layout notes (see ``/opt/skills/guides/pallas_guide.md``):
+- batch stays in the trailing (lane) axis; the segment axis ``S`` and the
+  line-search trial axis ride the leading (untiled/sublane) dims, so the
+  dynamics chains run on ``(S, Bt)`` / ``(n_ls, S, Bt)`` blocks — full-lane
+  VPU shapes with zero padding waste at ``Bt`` a multiple of 128.
+- the only MXU work is the static ``(K, K)`` spectral-basis rotations and
+  the static cost-Jacobian products, done as plain ``jnp.dot`` with
+  ``preferred_element_type`` pinned to the compute dtype.
+- scalar dynamics parameters ride SMEM; all statics (eigenbasis, cost
+  Jacobian) are VMEM inputs replicated across the batch grid.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.integrate import mod_pi
+from ..ops.lanes import rk4_step_rows, segment_rollout_with_jac_rows
+
+__all__ = ["make_fused_iteration", "fused_supported"]
+
+
+def fused_supported(problem, config) -> bool:
+    """Whether the fused kernel covers this problem configuration (the
+    caller falls back to the XLA iteration body otherwise)."""
+    spec = problem.spec
+    if spec.model.dynamics_jac_core is None or spec.model.dynamics_core is None:
+        return False
+    if spec.params.rebase_equalities and len(spec.terminal_eqs):
+        return False  # per-iteration equality re-basing not fused (rare path)
+    leaves = jax.tree.leaves(problem.dynamics_params)
+    if any(jnp.ndim(l) != 0 for l in leaves):
+        return False  # per-instance dynamics params: unfused path
+    return True
+
+
+def _at(arr, k: int, axis: int = 0):
+    """Static index into ``axis`` without jnp int indexing (which lowers
+    to ``dynamic_slice`` — unimplemented in the Mosaic TPU lowering)."""
+    return jax.lax.squeeze(
+        jax.lax.slice_in_dim(arr, k, k + 1, axis=axis), (axis,)
+    )
+
+
+def _row(e, s, shape, dtype):
+    """Slice segment ``s`` out of a nested-tuple Jacobian entry: arrays
+    are ``(S,) + shape``; structural constants stay Python literals so
+    downstream products keep folding."""
+    if isinstance(e, (int, float)):
+        return e
+    return _at(e, s)
+
+
+def _fold_sum(terms, like):
+    """Sum of (literal-coefficient x array) products with 0/1 folding."""
+    acc = None
+    for coef, arr in terms:
+        if isinstance(coef, (int, float)):
+            if coef == 0.0:
+                continue
+            t = arr if coef == 1.0 else coef * arr
+        else:
+            t = coef * arr
+        acc = t if acc is None else acc + t
+    return jnp.zeros_like(like) if acc is None else acc
+
+
+def make_fused_iteration(problem, config, batch_tile: int | None = None,
+                         interpret: bool | None = None):
+    """Build the fused GN-iteration body for ``_solve_lanes_impl``'s scan.
+
+    Returns ``iteration(carry, _) -> (carry, trace)`` with the exact carry
+    and trace pytrees of the XLA body in ``mpc.lanes``. ``problem`` is a
+    ``mpc.lanes._LanesProblem``; statics are captured at trace time.
+    """
+    from ..mpc.lanes import _Z  # local import: lanes imports this module
+    from ..mpc.problem import _qr_gram_factor
+
+    spec = problem.spec
+    p = spec.params
+    sd, N, sp, K, S = problem.sd, problem.N, problem.sp, problem.K, problem.S
+    n_tc, n_t = problem.n_tc, problem.n_t
+    n_all = n_tc + n_t
+    B = problem.B
+    dtype = problem.dtype
+    angle = tuple(spec.model.angle_indices)
+    term_costs = tuple(spec.terminal_costs)
+    term_eqs = tuple(spec.terminal_eqs)
+    dt = float(p.control_dt)
+    u_limit = float(p.u_limit)
+    b_x_limit = float(p.b_x_limit)
+    w_du = float(p.u_derivative_cost_weight)
+    w_u = float(p.u_cost_weight)
+    n_ls = config.max_line_search_iterations
+    alphas = [0.5 ** i for i in range(n_ls)]
+    eps = float(jnp.finfo(dtype).eps)
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if batch_tile is None:
+        batch_tile = B if interpret else min(B, 512)
+    Bt = batch_tile
+    if B % Bt:
+        raise ValueError(f"batch {B} not divisible by batch_tile {Bt}")
+    grid = (B // Bt,)
+
+    # ------------------------------------------------------------- statics
+    Ju_np = np.asarray(problem._Ju_cost, np.float64)  # (n_u, K)
+    n_u = Ju_np.shape[0]
+    Qm = jnp.asarray(problem._Hu_Q, dtype)  # (K, K)
+    QTm = jnp.asarray(problem._Hu_Q.T, dtype)
+    eigs2 = jnp.asarray(problem._Hu_eigs, dtype).reshape(K, 1)
+    JuT = jnp.asarray(Ju_np.T, dtype)  # (K, n_u)
+    Juc = jnp.asarray(Ju_np, dtype)  # (n_u, K)
+    D_diag = [float(v) for v in problem._D_diag]  # length n_all
+    w_costs = [float(v) for v in problem._w_costs]  # length n_tc
+    sqrtD_scalars = [float(np.sqrt(v)) for v in problem._D_diag]
+
+    leaves, treedef = jax.tree.flatten(problem.dynamics_params)
+    n_p = len(leaves)
+    params_vec = jnp.stack(
+        [jnp.asarray(l, dtype) for l in leaves]
+    ).reshape(1, n_p)
+
+    jac_core = spec.model.dynamics_jac_core
+    dyn_core = spec.model.dynamics_core
+
+    def dot(a, b):
+        return jnp.dot(a, b, preferred_element_type=dtype,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    # -------------------------------------------------------------- kernel
+    def kernel(params_ref, QT_ref, Q_ref, eigs_ref, JuT_ref, Juc_ref,
+               xc_ref, spt_ref, up_ref,
+               xs_ref, u_ref, lam_ref, mu_ref, merit_ref, done_ref,
+               term_ref, fo_ref,
+               xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o, fo_o,
+               tc_o, tv_o, tl_o, ta_o, tf_o, tap_o):
+        params_t = jax.tree.unflatten(
+            treedef, [params_ref[0, i] for i in range(n_p)]
+        )
+        xc = [xc_ref[i, :] for i in range(sd)]  # per-coord (Bt,)
+        spt = spt_ref[...]  # set_point (Bt,)
+        up = up_ref[...]  # u_prev (Bt,)
+        xs = [xs_ref[i, :, :] for i in range(sd)]  # per-coord (N, Bt)
+        u = u_ref[...]  # (K, Bt)
+        lam = lam_ref[...]
+        mu_pen = mu_ref[...]
+        merit_prev = merit_ref[...]
+        done = done_ref[...] != 0
+        term = term_ref[...]
+        fo_carry = fo_ref[...]
+        QT = QT_ref[...]
+        Q = Q_ref[...]
+        eigs = eigs_ref[...]  # (K, 1)
+        JuTm = JuT_ref[...]
+        Jucm = Juc_ref[...]
+
+        def wrap(i, v):
+            return mod_pi(v) if i in angle else v
+
+        def target_of(ts):
+            return spt if ts.is_setpoint else jnp.asarray(ts.target, dtype)
+
+        # ---- cost residuals of the current iterate (mirrors
+        # _LanesProblem.cost_residuals row order).
+        def cost_rows(xs_rows_last, u_arr, up_arr):
+            r_term = []
+            for ts, w in zip(term_costs, w_costs):
+                diff = xs_rows_last[ts.coord] - target_of(ts)
+                if ts.is_angle:
+                    diff = mod_pi(diff)
+                r_term.append(w * diff)
+            r_u = []
+            if w_du > 0.0:
+                r_u.append(w_du * (u_arr[:-1] - u_arr[1:]))
+                r_u.append((w_du * (_at(u_arr, 0) - up_arr))[None])
+            if w_u > 0.0:
+                r_u.append(w_u * u_arr)
+            r_u = jnp.concatenate(r_u, axis=0) if r_u else jnp.zeros(
+                (0,) + u_arr.shape[1:], dtype
+            )
+            return r_term, r_u
+
+        def eq_rows(xs_rows_last):
+            vals = []
+            for ts in term_eqs:
+                diff = xs_rows_last[ts.coord] - target_of(ts)
+                if ts.is_angle:
+                    diff = mod_pi(diff)
+                vals.append(diff)
+            return vals
+
+        # ================================================ condensed step
+        # Segment linearization on (S, Bt) rows — the whole shooting
+        # window in one unrolled rows-form chain (ops/lanes.py).
+        x0_rows = tuple(xs[i][:-1] for i in range(sd))  # (S, Bt) each
+        us_seg = jnp.stack(
+            [
+                jnp.stack([_at(u, s * sp + t) for s in range(S)])
+                for t in range(sp)
+            ]
+        )  # (sp, S, Bt)
+        fjr = lambda xr, u_: jac_core(params_t, xr, u_)
+        x_end, Jx, Ju_cols = segment_rollout_with_jac_rows(
+            fjr, x0_rows, us_seg, dt, angle
+        )
+        defect = [
+            wrap(i, x_end[i] - xs[i][1:]) for i in range(sd)
+        ]  # (S, Bt)
+        pin = [wrap(i, _at(xs[i], 0) - xc[i]) for i in range(sd)]  # (Bt,)
+
+        def jx_at(i, j, s):
+            return _row(Jx[i][j], s, (Bt,), dtype)
+
+        def ju_at(t, i, s):
+            return _row(Ju_cols[t][i], s, (Bt,), dtype)
+
+        # Forward condensation dx_s = M_s du + m_s.
+        M = [jnp.zeros((K, Bt), dtype) for _ in range(sd)]
+        m = [-pin[i] for i in range(sd)]
+        for s in range(S):
+            M = [
+                _fold_sum(
+                    [(jx_at(i, j, s), M[j]) for j in range(sd)], M[i]
+                )
+                for i in range(sd)
+            ]
+            for i in range(sd):
+                blk = jnp.stack(
+                    [
+                        jnp.broadcast_to(
+                            jnp.asarray(ju_at(t, i, s), dtype), (Bt,)
+                        )
+                        for t in range(sp)
+                    ]
+                )
+                # No .at[].set: Mosaic has no scatter lowering — splice
+                # the segment's Ju block in with a concat of slices.
+                pieces = []
+                if s:
+                    pieces.append(M[i][: s * sp])
+                pieces.append(blk)
+                if s + 1 < S:
+                    pieces.append(M[i][(s + 1) * sp:])
+                M[i] = jnp.concatenate(pieces, axis=0)
+            m = [
+                _fold_sum(
+                    [(jx_at(i, j, s), m[j]) for j in range(sd)], m[i]
+                )
+                + _at(defect[i], s)
+                for i in range(sd)
+            ]
+
+        xs_last = [_at(xs[i], N - 1) for i in range(sd)]
+        r_term, r_u = cost_rows(xs_last, u, up)
+        term_J = [w_costs[t] * M[term_costs[t].coord] for t in range(n_tc)]
+        term_aff = [w_costs[t] * m[term_costs[t].coord] for t in range(n_tc)]
+        r_bar_term = [r_term[t] + term_aff[t] for t in range(n_tc)]
+        U_costs = [M[ts.coord] for ts in term_costs]
+        b_costs = [r_bar_term[t] / w_costs[t] for t in range(n_tc)]
+
+        g_s = dot(JuTm, r_u)  # (K, Bt)
+
+        c_term = eq_rows(xs_last)
+        A_eq = [M[ts.coord] for ts in term_eqs]
+        c_bar = [c_term[j] + m[term_eqs[j].coord] for j in range(n_t)]
+
+        A_all = U_costs + A_eq  # n_all entries of (K, Bt)
+        b_all = b_costs + c_bar  # n_all entries of (Bt,)
+
+        d_inv = 1.0 / (eigs + lam[None, :])  # (K, Bt)
+
+        # Spectral solves, all rhs in one pair of static matmuls.
+        Xcat = jnp.concatenate(A_all + [g_s], axis=1)  # (K, (n_all+1)Bt)
+        Ycat = dot(QT, Xcat)
+        Dcat = jnp.concatenate([d_inv] * (n_all + 1), axis=1)
+        sol = dot(Q, Ycat * Dcat)
+        CiA = [sol[:, r * Bt:(r + 1) * Bt] for r in range(n_all)]
+        Cig = sol[:, n_all * Bt:]
+
+        if n_all:
+            G = dot(
+                Q, Ycat[:, : n_all * Bt] * jnp.sqrt(Dcat[:, : n_all * Bt])
+            )  # C^{-1/2} A, columns blocked per row
+            cols = []
+            for j in range(n_all):
+                # sqrt(D) e_j tail row, built from scalar literals (array
+                # constants cannot be captured by a pallas kernel; .at[]
+                # would lower to an unsupported scatter).
+                tail = jnp.stack(
+                    [
+                        jnp.full((Bt,), sqrtD_scalars[j], dtype)
+                        if r == j else jnp.zeros((Bt,), dtype)
+                        for r in range(n_all)
+                    ]
+                )
+                cols.append(
+                    jnp.concatenate([G[:, j * Bt:(j + 1) * Bt], tail], axis=0)
+                )
+            # Column-LIST form: never stack T — Mosaic miscompiles the
+            # stack-then-slice round trip (see _mgs_qr).
+            schur_solve = _qr_gram_factor(cols)
+            # schur_solve gets LISTS of rows (int indexing of stacked
+            # arrays inside the tri solves would hit dynamic_slice).
+            mu_v = schur_solve(
+                [
+                    b_all[r] - jnp.sum(A_all[r] * Cig, axis=0)
+                    for r in range(n_all)
+                ]
+            )  # (n_all, Bt)
+            mu_rows = [_at(mu_v, r) for r in range(n_all)]
+            du = -(
+                Cig
+                + _fold_sum(
+                    [(1.0, CiA[r] * mu_rows[r][None, :])
+                     for r in range(n_all)],
+                    Cig,
+                )
+            )
+            # One refinement step on the augmented system.
+            At_mu = _fold_sum(
+                [(1.0, A_all[r] * mu_rows[r][None, :]) for r in range(n_all)],
+                Cig,
+            )
+            c_mul_du = dot(Q, dot(QT, du) * (eigs + lam[None, :]))
+            res_d = -g_s - (c_mul_du + At_mu)
+            res_c = [
+                -b_all[r]
+                - (jnp.sum(A_all[r] * du, axis=0) - D_diag[r] * mu_rows[r])
+                for r in range(n_all)
+            ]
+            Ci_rd = dot(Q, dot(QT, res_d) * d_inv)
+            e_y = schur_solve(
+                [
+                    jnp.sum(A_all[r] * Ci_rd, axis=0) - res_c[r]
+                    for r in range(n_all)
+                ]
+            )
+            e_rows = [_at(e_y, r) for r in range(n_all)]
+            du = du + Ci_rd - _fold_sum(
+                [(1.0, CiA[r] * e_rows[r][None, :]) for r in range(n_all)],
+                Cig,
+            )
+            mu_v = mu_v + e_y
+            mu_rows = [mu_rows[r] + e_rows[r] for r in range(n_all)]
+        else:
+            mu_v = jnp.zeros((0, Bt), dtype)
+            mu_rows = []
+            du = -Cig
+        mu_c = mu_rows[:n_tc]
+        nu = mu_rows[n_tc:]
+
+        # State-step expansion by the forward recursion.
+        dx = [-pin[i] for i in range(sd)]
+        dxs_rows = [list(dx)]
+        for s in range(S):
+            dx = [
+                _fold_sum(
+                    [(jx_at(i, j, s), dx[j]) for j in range(sd)]
+                    + [(ju_at(t, i, s), _at(du, s * sp + t))
+                       for t in range(sp)],
+                    dx[i],
+                )
+                + _at(defect[i], s)
+                for i in range(sd)
+            ]
+            dxs_rows.append(list(dx))
+        dxs = [
+            jnp.stack([dxs_rows[n][i] for n in range(N)]) for i in range(sd)
+        ]  # per-coord (N, Bt)
+
+        # Exact directional derivative (J^T r) . dz.
+        Jdu_term = [jnp.sum(term_J[t] * du, axis=0) for t in range(n_tc)]
+        Jdu_u = dot(Jucm, du)  # (n_u, Bt)
+        jr_dz = _fold_sum(
+            [(1.0, r_term[t] * (Jdu_term[t] + term_aff[t]))
+             for t in range(n_tc)],
+            lam,
+        ) + jnp.sum(r_u * Jdu_u, axis=0)
+
+        # Post-step multiplier estimates for the merit ramp.
+        gN = [jnp.zeros((Bt,), dtype) for _ in range(sd)]
+        for t in range(n_tc):
+            gN[term_costs[t].coord] = gN[term_costs[t].coord] + mu_c[t]
+        for j in range(n_t):
+            gN[term_eqs[j].coord] = gN[term_eqs[j].coord] + nu[j]
+        pi = list(gN)
+        pi_max = jnp.zeros((Bt,), dtype)
+        for s in reversed(range(S)):
+            mags = jnp.abs(pi[0])
+            for i in range(1, sd):
+                mags = jnp.maximum(mags, jnp.abs(pi[i]))
+            pi_max = jnp.maximum(pi_max, mags)
+            pi = [
+                _fold_sum(
+                    [(jx_at(i, j, s), pi[i]) for i in range(sd)], pi[j]
+                )
+                for j in range(sd)
+            ]
+        sigma_inf = jnp.abs(pi[0])
+        for i in range(1, sd):
+            sigma_inf = jnp.maximum(sigma_inf, jnp.abs(pi[i]))
+        if n_t:
+            nu_abs = jnp.abs(nu[0])
+            for j in range(1, n_t):
+                nu_abs = jnp.maximum(nu_abs, jnp.abs(nu[j]))
+        else:
+            nu_abs = jnp.zeros((Bt,), dtype)
+        nu_inf = jnp.maximum(nu_abs, jnp.maximum(pi_max, sigma_inf))
+
+        # Unified first-order diagnostic (pre-step residual multipliers).
+        gN_pre = [jnp.zeros((Bt,), dtype) for _ in range(sd)]
+        for t in range(n_tc):
+            c = term_costs[t].coord
+            gN_pre[c] = gN_pre[c] + w_costs[t] * r_term[t]
+        for j in range(n_t):
+            c = term_eqs[j].coord
+            gN_pre[c] = gN_pre[c] + nu[j]
+        pi = list(gN_pre)
+        gu_rows = [None] * K
+        for s in reversed(range(S)):
+            for t in range(sp):
+                gu_rows[s * sp + t] = _fold_sum(
+                    [(ju_at(t, i, s), pi[i]) for i in range(sd)], pi[0]
+                )
+            pi = [
+                _fold_sum(
+                    [(jx_at(i, j, s), pi[i]) for i in range(sd)], pi[j]
+                )
+                for j in range(sd)
+            ]
+        g_u_full = g_s + jnp.stack(gu_rows)
+        first_order = jnp.max(jnp.abs(g_u_full), axis=0)
+
+        qp_ok = jnp.all(jnp.isfinite(du), axis=0)
+        for i in range(sd):
+            qp_ok = qp_ok & jnp.all(jnp.isfinite(dxs[i]), axis=0)
+        if n_all:
+            qp_ok = qp_ok & jnp.all(jnp.isfinite(mu_v), axis=0)
+
+        # ================================================ merit + trials
+        cost = 0.5 * (
+            _fold_sum([(1.0, r_term[t] ** 2) for t in range(n_tc)], lam)
+            + jnp.sum(r_u * r_u, axis=0)
+        )
+        viol1 = jnp.zeros((Bt,), dtype)
+        for i in range(sd):
+            viol1 = viol1 + jnp.sum(jnp.abs(defect[i]), axis=0)
+            viol1 = viol1 + jnp.abs(pin[i])
+        for j in range(n_t):
+            viol1 = viol1 + jnp.abs(c_term[j])
+
+        # Zero the step where the QP failed (fail_qp is terminal).
+        du = jnp.where(qp_ok[None, :], du, jnp.zeros_like(du))
+        dxs = [
+            jnp.where(qp_ok[None, :], dxs[i], jnp.zeros_like(dxs[i]))
+            for i in range(sd)
+        ]
+
+        mu_new = jnp.maximum(
+            mu_pen, config.penalty_multiplier_margin * nu_inf
+        )
+        phi0 = cost + mu_new * viol1
+        dphi = jr_dz - mu_new * viol1
+
+        # Folded line search: all trials as a leading axis.
+        xs_tr = []  # per-coord (n_ls, N, Bt)
+        u_tr = []  # per-trial (K, Bt)
+        for a in alphas:
+            ua = jnp.clip(u + a * du, -u_limit, u_limit)
+            u_tr.append(ua)
+            rows = []
+            for i in range(sd):
+                v = xs[i] + a * dxs[i]  # (N, Bt)
+                v = wrap(i, v)
+                if i == 0:
+                    v = jnp.clip(v, -b_x_limit, b_x_limit)
+                rows.append(v)
+            xs_tr.append(rows)
+        x0_tr = tuple(
+            jnp.stack([xs_tr[t][i][:-1] for t in range(n_ls)])
+            for i in range(sd)
+        )  # (n_ls, S, Bt)
+        us_tr = [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [_at(u_tr[a], s * sp + t) for s in range(S)]
+                    )
+                    for a in range(n_ls)
+                ]
+            )
+            for t in range(sp)
+        ]  # sp entries of (n_ls, S, Bt)
+        fr = lambda xr, u_: dyn_core(params_t, xr, u_)
+        x = x0_tr
+        for t in range(sp):
+            x = rk4_step_rows(fr, x, us_tr[t], dt)
+            x = tuple(wrap(i, x[i]) for i in range(sd))
+        cost_a = jnp.zeros((n_ls, Bt), dtype)
+        viol_a = jnp.zeros((n_ls, Bt), dtype)
+        for i in range(sd):
+            d_tr = wrap(
+                i,
+                x[i]
+                - jnp.stack([xs_tr[t][i][1:] for t in range(n_ls)]),
+            )  # (n_ls, S, Bt)
+            viol_a = viol_a + jnp.sum(jnp.abs(d_tr), axis=1)
+            pin_tr = wrap(
+                i,
+                jnp.stack([_at(xs_tr[t][i], 0) for t in range(n_ls)])
+                - xc[i][None, :],
+            )
+            viol_a = viol_a + jnp.abs(pin_tr)
+        last_tr = [
+            jnp.stack([_at(xs_tr[t][i], N - 1) for t in range(n_ls)])
+            for i in range(sd)
+        ]
+        rt_tr, ru_tr = cost_rows(
+            last_tr,
+            jnp.stack(u_tr, axis=1),  # (K, n_ls, Bt)
+            up[None, :],
+        )
+        for t in range(n_tc):
+            cost_a = cost_a + 0.5 * rt_tr[t] ** 2
+        cost_a = cost_a + 0.5 * jnp.sum(ru_tr * ru_tr, axis=0)
+        for ce in eq_rows(last_tr):
+            viol_a = viol_a + jnp.abs(ce)
+
+        phi_tr = cost_a + mu_new[None, :] * viol_a
+        phi_tr = jnp.where(jnp.isfinite(phi_tr), phi_tr, jnp.inf)
+        slack = config.merit_slack_ulps * eps * jnp.abs(phi0)
+        alpha_used = jnp.zeros((Bt,), dtype)
+        phi_sel = jnp.zeros((Bt,), dtype)
+        found = jnp.zeros((Bt,), bool)
+        for t, a in enumerate(alphas):
+            phi_t = _at(phi_tr, t)
+            acc_t = phi_t <= phi0 + config.armijo_c1 * (a * dphi) + slack
+            take = acc_t & ~found
+            alpha_used = jnp.where(take, jnp.asarray(a, dtype), alpha_used)
+            phi_sel = jnp.where(take, phi_t, phi_sel)
+            found = found | acc_t
+        any_accept = found & qp_ok
+        alpha_used = jnp.where(any_accept, alpha_used, jnp.zeros_like(alpha_used))
+        phi_new = jnp.where(any_accept, phi_sel, phi0)
+
+        # Accepted iterate: re-retract at the accepted alpha.
+        u_acc = jnp.clip(u + alpha_used[None, :] * du, -u_limit, u_limit)
+        xs_acc = []
+        for i in range(sd):
+            v = xs[i] + alpha_used[None, :] * dxs[i]
+            v = wrap(i, v)
+            if i == 0:
+                v = jnp.clip(v, -b_x_limit, b_x_limit)
+            xs_acc.append(v)
+
+        lam_next = jnp.where(
+            any_accept,
+            lam * config.lambda_decrease,
+            jnp.maximum(
+                lam * config.lambda_increase, config.lambda_failure_floor
+            ),
+        )
+        u_next = jnp.where(any_accept[None, :], u_acc, u)
+        xs_next = [
+            jnp.where(any_accept[None, :], xs_acc[i], xs[i])
+            for i in range(sd)
+        ]
+
+        prev_ok = jnp.isfinite(merit_prev)
+        mp = jnp.where(prev_ok, merit_prev, jnp.zeros((), dtype))
+        rel_change = jnp.where(
+            prev_ok,
+            jnp.abs(mp - phi_new)
+            / jnp.maximum(jnp.abs(mp), jnp.asarray(1.0e-30, dtype)),
+            jnp.asarray(jnp.inf, dtype),
+        )
+        conv_rel = any_accept & (rel_change < config.relative_exit_tol)
+        conv_first = first_order < config.absolute_first_derivative_tol
+        fail_lambda = lam_next > config.lambda_max
+        fail_qp = ~qp_ok
+
+        from ..ops.solver import NLSTerminationState
+
+        new_term = jnp.where(
+            conv_first,
+            NLSTerminationState.SATISFIED_FIRST_ORDER_TOL,
+            jnp.where(
+                conv_rel,
+                NLSTerminationState.SATISFIED_RELATIVE_TOL,
+                jnp.where(
+                    fail_qp,
+                    NLSTerminationState.QP_INDEFINITE,
+                    jnp.where(
+                        fail_lambda,
+                        NLSTerminationState.MAX_LAMBDA,
+                        NLSTerminationState.MAX_ITERATIONS,
+                    ),
+                ),
+            ),
+        ).astype(jnp.int32)
+        now_done = conv_rel | conv_first | fail_lambda | fail_qp
+
+        xs_out = jnp.stack(
+            [jnp.where(done[None, :], xs[i], xs_next[i]) for i in range(sd)]
+        )  # (sd, N, Bt)
+        u_out = jnp.where(done[None, :], u, u_next)
+        lam_out = jnp.where(done, lam, lam_next)
+        mu_out = jnp.where(done, mu_pen, mu_new)
+        merit_out = jnp.where(done, merit_prev, phi_new)
+        term_out = jnp.where(done, term, new_term)
+        fo_out = jnp.where(done, fo_carry, first_order)
+        done_out = done | now_done
+
+        nan = jnp.asarray(jnp.nan, dtype)
+        violmax = jnp.zeros((Bt,), dtype)
+        for i in range(sd):
+            violmax = jnp.maximum(
+                violmax, jnp.max(jnp.abs(defect[i]), axis=0)
+            )
+            violmax = jnp.maximum(violmax, jnp.abs(pin[i]))
+        for j in range(n_t):
+            violmax = jnp.maximum(violmax, jnp.abs(c_term[j]))
+
+        xs_o[...] = xs_out
+        u_o[...] = u_out
+        lam_o[...] = lam_out
+        mu_o[...] = mu_out
+        merit_o[...] = merit_out
+        done_o[...] = done_out.astype(jnp.int32)
+        term_o[...] = term_out
+        fo_o[...] = fo_out
+        tc_o[...] = jnp.where(done, nan, cost)
+        tv_o[...] = jnp.where(done, nan, violmax)
+        tl_o[...] = jnp.where(done, nan, lam)
+        ta_o[...] = jnp.where(done, jnp.zeros((), dtype), alpha_used)
+        tf_o[...] = jnp.where(done, nan, first_order)
+        tap_o[...] = (~done).astype(jnp.int32)
+
+    # ------------------------------------------------------ pallas plumbing
+    def rep(shape):
+        nz = len(shape)
+        return pl.BlockSpec(
+            shape, (lambda *_: (0,) * nz), memory_space=pltpu.VMEM
+        )
+
+    def batched(shape_prefix):
+        shape = shape_prefix + (Bt,)
+        nz = len(shape_prefix)
+
+        def idx(i):
+            return (0,) * nz + (i,)
+
+        return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((1, n_p), (lambda *_: (0, 0)), memory_space=pltpu.SMEM),
+        rep((K, K)), rep((K, K)), rep((K, 1)),
+        rep((K, n_u)), rep((n_u, K)),
+        batched((sd,)), batched(()), batched(()),
+        batched((sd, N)), batched((K,)),
+        batched(()), batched(()), batched(()),
+        batched(()), batched(()), batched(()),
+    ]
+    f = dtype
+    out_shape = [
+        jax.ShapeDtypeStruct((sd, N, B), f),
+        jax.ShapeDtypeStruct((K, B), f),
+    ] + [jax.ShapeDtypeStruct((B,), f)] * 3 + [
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+        jax.ShapeDtypeStruct((B,), f),
+    ] + [jax.ShapeDtypeStruct((B,), f)] * 5 + [
+        jax.ShapeDtypeStruct((B,), jnp.int32),
+    ]
+    out_specs = [
+        batched((sd, N)), batched((K,)),
+        batched(()), batched(()), batched(()),
+        batched(()), batched(()), batched(()),
+        batched(()), batched(()), batched(()), batched(()), batched(()),
+        batched(()),
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )
+
+    xc_arr = problem.x_current
+    spt_arr = problem.set_point
+    up_arr = problem.u_prev
+
+    def iteration(carry, _):
+        Z, lam, mu_pen, merit_prev, done, term, fo_carry = carry
+        (xs2, u2, lam2, mu2, merit2, done2, term2, fo2,
+         tcost, tviol, tlam, talpha, tfirst, tap) = call(
+            params_vec, QTm, Qm, eigs2, JuT, Juc,
+            xc_arr, spt_arr, up_arr,
+            Z.xs, Z.u, lam, mu_pen, merit_prev,
+            done.astype(jnp.int32), term, fo_carry,
+        )
+        carry2 = (
+            _Z(xs=xs2, u=u2), lam2, mu2, merit2, done2 != 0, term2, fo2
+        )
+        trace = (tcost, tviol, tlam, talpha, tfirst, tap != 0)
+        return carry2, trace
+
+    return iteration

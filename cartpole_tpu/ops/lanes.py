@@ -391,13 +391,22 @@ def segment_rollout_with_jac_rows(
     body and blows XLA compile time up at MPC sizes; the hot path uses
     :func:`segment_rollout_with_jac_scan` instead.
     """
+    import jax
+
     sd = len(x0_rows)
     T = us.shape[0]
     x = x0_rows
     Jx = _eye_rows(sd)
     cols = []
     for k in range(T):
-        x, A, B = rk4_step_with_jac_rows(fj, x, us[k], h)
+        # Static slice+squeeze instead of ``us[k]``: jnp int indexing
+        # lowers to dynamic_slice, which Mosaic cannot lower — this
+        # function is also traced inside the fused Pallas kernel
+        # (ops/fused.py). Identical semantics for the XLA path.
+        u_k = jax.lax.squeeze(
+            jax.lax.slice_in_dim(us, k, k + 1, axis=0), (0,)
+        )
+        x, A, B = rk4_step_with_jac_rows(fj, x, u_k, h)
         x = wrap_angles_rows(x, angle_indices)
         Jx = _mat_rows(A, Jx, sd)
         cols = [_matvec_rows(A, c, sd) for c in cols]
