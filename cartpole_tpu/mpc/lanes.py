@@ -558,6 +558,13 @@ def _solve_lanes(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
 def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
                       fused: bool = False,
                       fused_opts: dict | None = None):
+    fused_opts = dict(fused_opts or {})
+    # eager_loop: run the GN iterations as a Python loop of EAGER calls
+    # instead of one lax.scan. Test-only escape hatch for the fused body
+    # on CPU: its fully-unrolled ~15k-op iteration takes XLA:CPU >6 min
+    # to compile as one program (LLVM on a single giant fused loop,
+    # measured 2026-08-20), but dispatches eagerly in seconds.
+    eager_loop = fused_opts.pop("eager_loop", False)
     dtype = Z0.u.dtype
     B = problem.B
     n_ls = config.max_line_search_iterations
@@ -697,9 +704,7 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
                 "fused kernel (needs generated-core dynamics, scalar "
                 "dynamics params, rebase_equalities off)"
             )
-        iteration = make_fused_iteration(
-            problem, config, **(fused_opts or {})
-        )
+        iteration = make_fused_iteration(problem, config, **fused_opts)
 
     init = (
         Z0,
@@ -710,9 +715,17 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
         jnp.full((B,), NLSTerminationState.MAX_ITERATIONS, jnp.int32),
         jnp.full((B,), jnp.inf, dtype),
     )
-    (Z, lam, _, _, _, term, first_order), traces = jax.lax.scan(
-        iteration, init, None, length=config.max_iterations
-    )
+    if eager_loop:
+        carry, rows = init, []
+        for _ in range(config.max_iterations):
+            carry, tr = iteration(carry, None)
+            rows.append(tr)
+        traces = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+        (Z, lam, _, _, _, term, first_order) = carry
+    else:
+        (Z, lam, _, _, _, term, first_order), traces = jax.lax.scan(
+            iteration, init, None, length=config.max_iterations
+        )
     iter_cost, iter_viol, iter_lambda, iter_alpha, iter_first, applied = traces
 
     r, c = problem.evaluate(Z)

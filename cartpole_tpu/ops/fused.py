@@ -100,12 +100,21 @@ def _fold_sum(terms, like):
 
 
 def make_fused_iteration(problem, config, batch_tile: int | None = None,
-                         interpret: bool | None = None):
+                         interpret: bool = False,
+                         emulate: bool | None = None):
     """Build the fused GN-iteration body for ``_solve_lanes_impl``'s scan.
 
     Returns ``iteration(carry, _) -> (carry, trace)`` with the exact carry
     and trace pytrees of the XLA body in ``mpc.lanes``. ``problem`` is a
     ``mpc.lanes._LanesProblem``; statics are captured at trace time.
+
+    ``emulate`` (default: True on the CPU backend) runs the SAME tile
+    ``body`` through the same manual grid/BlockSpec slicing as plain jnp
+    instead of a ``pallas_call`` — arithmetic-identical, and the path the
+    f64 equivalence tests run: Pallas interpret mode inlines an emulated
+    kernel so large that XLA:CPU needs ~6 min to compile ONE iteration at
+    even a 2-segment window (measured 2026-08-20). ``interpret=True``
+    forces real interpret mode (debugging the pallas plumbing only).
     """
     from ..mpc.lanes import _Z  # local import: lanes imports this module
     from ..mpc.problem import _qr_gram_factor
@@ -129,10 +138,10 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
     alphas = [0.5 ** i for i in range(n_ls)]
     eps = float(jnp.finfo(dtype).eps)
 
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
+    if emulate is None:
+        emulate = jax.default_backend() == "cpu" and not interpret
     if batch_tile is None:
-        batch_tile = B if interpret else min(B, 512)
+        batch_tile = B if (interpret or emulate) else min(B, 512)
     Bt = batch_tile
     if B % Bt:
         raise ValueError(f"batch {B} not divisible by batch_tile {Bt}")
@@ -163,32 +172,14 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         return jnp.dot(a, b, preferred_element_type=dtype,
                        precision=jax.lax.Precision.HIGHEST)
 
-    # -------------------------------------------------------------- kernel
-    def kernel(params_ref, QT_ref, Q_ref, eigs_ref, JuT_ref, Juc_ref,
-               xc_ref, spt_ref, up_ref,
-               xs_ref, u_ref, lam_ref, mu_ref, merit_ref, done_ref,
-               term_ref, fo_ref,
-               xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o, fo_o,
-               tc_o, tv_o, tl_o, ta_o, tf_o, tap_o):
-        params_t = jax.tree.unflatten(
-            treedef, [params_ref[0, i] for i in range(n_p)]
-        )
-        xc = [xc_ref[i, :] for i in range(sd)]  # per-coord (Bt,)
-        spt = spt_ref[...]  # set_point (Bt,)
-        up = up_ref[...]  # u_prev (Bt,)
-        xs = [xs_ref[i, :, :] for i in range(sd)]  # per-coord (N, Bt)
-        u = u_ref[...]  # (K, Bt)
-        lam = lam_ref[...]
-        mu_pen = mu_ref[...]
-        merit_prev = merit_ref[...]
-        done = done_ref[...] != 0
-        term = term_ref[...]
-        fo_carry = fo_ref[...]
-        QT = QT_ref[...]
-        Q = Q_ref[...]
-        eigs = eigs_ref[...]  # (K, 1)
-        JuTm = JuT_ref[...]
-        Jucm = Juc_ref[...]
+    # ---------------------------------------------------------------- body
+    def body(params_t, xc, spt, up, xs, u, lam, mu_pen, merit_prev,
+             done, term, fo_carry, QT, Q, eigs, JuTm, Jucm):
+        """One damped-GN iteration on a (..., Bt) tile — pure jnp, shared
+        VERBATIM by the Pallas kernel and the CPU emulation path (the
+        arithmetic is identical; only the memory plumbing differs).
+        ``xc``/``xs`` are per-coordinate lists of ``(Bt,)``/``(N, Bt)``
+        arrays; returns the 14 output arrays in pallas-output order."""
 
         def wrap(i, v):
             return mod_pi(v) if i in angle else v
@@ -657,20 +648,40 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         for j in range(n_t):
             violmax = jnp.maximum(violmax, jnp.abs(c_term[j]))
 
-        xs_o[...] = xs_out
-        u_o[...] = u_out
-        lam_o[...] = lam_out
-        mu_o[...] = mu_out
-        merit_o[...] = merit_out
-        done_o[...] = done_out.astype(jnp.int32)
-        term_o[...] = term_out
-        fo_o[...] = fo_out
-        tc_o[...] = jnp.where(done, nan, cost)
-        tv_o[...] = jnp.where(done, nan, violmax)
-        tl_o[...] = jnp.where(done, nan, lam)
-        ta_o[...] = jnp.where(done, jnp.zeros((), dtype), alpha_used)
-        tf_o[...] = jnp.where(done, nan, first_order)
-        tap_o[...] = (~done).astype(jnp.int32)
+        return (
+            xs_out, u_out, lam_out, mu_out, merit_out,
+            done_out.astype(jnp.int32), term_out, fo_out,
+            jnp.where(done, nan, cost),
+            jnp.where(done, nan, violmax),
+            jnp.where(done, nan, lam),
+            jnp.where(done, jnp.zeros((), dtype), alpha_used),
+            jnp.where(done, nan, first_order),
+            (~done).astype(jnp.int32),
+        )
+
+    # -------------------------------------------------------------- kernel
+    def kernel(params_ref, QT_ref, Q_ref, eigs_ref, JuT_ref, Juc_ref,
+               xc_ref, spt_ref, up_ref,
+               xs_ref, u_ref, lam_ref, mu_ref, merit_ref, done_ref,
+               term_ref, fo_ref,
+               xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o, fo_o,
+               tc_o, tv_o, tl_o, ta_o, tf_o, tap_o):
+        outs = body(
+            jax.tree.unflatten(
+                treedef, [params_ref[0, i] for i in range(n_p)]
+            ),
+            [xc_ref[i, :] for i in range(sd)],  # per-coord (Bt,)
+            spt_ref[...], up_ref[...],
+            [xs_ref[i, :, :] for i in range(sd)],  # per-coord (N, Bt)
+            u_ref[...], lam_ref[...], mu_ref[...], merit_ref[...],
+            done_ref[...] != 0, term_ref[...], fo_ref[...],
+            QT_ref[...], Q_ref[...], eigs_ref[...],
+            JuT_ref[...], Juc_ref[...],
+        )
+        out_refs = (xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o,
+                    fo_o, tc_o, tv_o, tl_o, ta_o, tf_o, tap_o)
+        for ref, val in zip(out_refs, outs):
+            ref[...] = val
 
     # ------------------------------------------------------ pallas plumbing
     def rep(shape):
@@ -715,14 +726,42 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         batched(()), batched(()), batched(()), batched(()), batched(()),
         batched(()),
     ]
-    call = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )
+    if emulate:
+        # Manual application of the SAME grid/BlockSpec tiling (batched
+        # index maps slice the trailing batch axis in Bt blocks;
+        # replicated statics pass through whole), calling the same tile
+        # ``body`` — plain jnp, no pallas_call.
+        def call(params_a, QT_a, Q_a, eigs_a, JuT_a, Juc_a,
+                 xc_a, spt_a, up_a, xs_a, u_a, lam_a, mu_a,
+                 merit_a, done_a, term_a, fo_a):
+            tiles = []
+            for g in range(B // Bt):
+                sl = slice(g * Bt, (g + 1) * Bt)
+                tiles.append(body(
+                    jax.tree.unflatten(
+                        treedef, [params_a[0, i] for i in range(n_p)]
+                    ),
+                    [xc_a[i, sl] for i in range(sd)],
+                    spt_a[sl], up_a[sl],
+                    [xs_a[i, :, sl] for i in range(sd)],
+                    u_a[:, sl], lam_a[sl], mu_a[sl], merit_a[sl],
+                    done_a[sl] != 0, term_a[sl], fo_a[sl],
+                    QT_a, Q_a, eigs_a, JuT_a, Juc_a,
+                ))
+            return tuple(
+                jnp.concatenate([t[k] for t in tiles], axis=-1)
+                if len(tiles) > 1 else tiles[0][k]
+                for k in range(14)
+            )
+    else:
+        call = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )
 
     xc_arr = problem.x_current
     spt_arr = problem.set_point
