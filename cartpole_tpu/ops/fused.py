@@ -101,7 +101,8 @@ def _fold_sum(terms, like):
 
 def make_fused_iteration(problem, config, batch_tile: int | None = None,
                          interpret: bool = False,
-                         emulate: bool | None = None):
+                         emulate: bool | None = None,
+                         _stop_after: int = 0):
     """Build the fused GN-iteration body for ``_solve_lanes_impl``'s scan.
 
     Returns ``iteration(carry, _) -> (carry, trace)`` with the exact carry
@@ -184,6 +185,20 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         def wrap(i, v):
             return mod_pi(v) if i in angle else v
 
+        def _dbg(*live):
+            """Debug early-out (``_stop_after``): well-shaped outputs that
+            keep ``live`` rows from being DCE'd — Mosaic-fault bisection
+            only, never on in production."""
+            acc = jnp.zeros((Bt,), dtype)
+            for v in live:
+                acc = acc + jnp.sum(v.reshape(-1, Bt), axis=0)
+            i32 = jnp.zeros((Bt,), jnp.int32)
+            return (
+                jnp.stack([xs[i] + acc[None, :] for i in range(sd)]),
+                u + acc[None, :],
+                acc, acc, acc, i32, i32, acc, acc, acc, acc, acc, acc, i32,
+            )
+
         def target_of(ts):
             return spt if ts.is_setpoint else jnp.asarray(ts.target, dtype)
 
@@ -241,7 +256,18 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         def ju_at(t, i, s):
             return _row(Ju_cols[t][i], s, (Bt,), dtype)
 
+        if _stop_after == 1:  # after segment linearization
+            return _dbg(*(list(defect) + list(pin)))
+
         # Forward condensation dx_s = M_s du + m_s.
+        # No .at[].set (Mosaic has no scatter lowering) and no
+        # concat-of-slices splice either: a sublane concatenate of slices
+        # of the SAME computed (K, Bt) array crashes the Mosaic compiler
+        # outright (``Check failed: limits[i] <= dim(i)`` SIGABRT,
+        # minimal repro in scripts/probe_fused_bisect.py's history,
+        # 2026-08-20). The segment's Ju block is spliced in with one-hot
+        # row masks instead — value-identical, dense (K, Bt) VPU ops.
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (K, Bt), 0)
         M = [jnp.zeros((K, Bt), dtype) for _ in range(sd)]
         m = [-pin[i] for i in range(sd)]
         for s in range(S):
@@ -251,24 +277,26 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                 )
                 for i in range(sd)
             ]
+            in_seg = (row_ids >= s * sp) & (row_ids < (s + 1) * sp)
             for i in range(sd):
-                blk = jnp.stack(
+                blk = _fold_sum(
                     [
-                        jnp.broadcast_to(
-                            jnp.asarray(ju_at(t, i, s), dtype), (Bt,)
+                        (
+                            1.0,
+                            jnp.where(
+                                row_ids == s * sp + t,
+                                jnp.broadcast_to(
+                                    jnp.asarray(ju_at(t, i, s), dtype),
+                                    (Bt,),
+                                )[None, :],
+                                jnp.zeros((), dtype),
+                            ),
                         )
                         for t in range(sp)
-                    ]
+                    ],
+                    M[i],
                 )
-                # No .at[].set: Mosaic has no scatter lowering — splice
-                # the segment's Ju block in with a concat of slices.
-                pieces = []
-                if s:
-                    pieces.append(M[i][: s * sp])
-                pieces.append(blk)
-                if s + 1 < S:
-                    pieces.append(M[i][(s + 1) * sp:])
-                M[i] = jnp.concatenate(pieces, axis=0)
+                M[i] = jnp.where(in_seg, blk, M[i])
             m = [
                 _fold_sum(
                     [(jx_at(i, j, s), m[j]) for j in range(sd)], m[i]
@@ -277,8 +305,13 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                 for i in range(sd)
             ]
 
+        if _stop_after == 21:  # after the M/m condensation loop alone
+            return _dbg(*(M + m))
+
         xs_last = [_at(xs[i], N - 1) for i in range(sd)]
         r_term, r_u = cost_rows(xs_last, u, up)
+        if _stop_after == 22:  # after the cost residual rows
+            return _dbg(r_u, *(xs_last + r_term))
         term_J = [w_costs[t] * M[term_costs[t].coord] for t in range(n_tc)]
         term_aff = [w_costs[t] * m[term_costs[t].coord] for t in range(n_tc)]
         r_bar_term = [r_term[t] + term_aff[t] for t in range(n_tc)]
@@ -293,6 +326,9 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
 
         A_all = U_costs + A_eq  # n_all entries of (K, Bt)
         b_all = b_costs + c_bar  # n_all entries of (Bt,)
+
+        if _stop_after == 2:  # after condensation + residual rows
+            return _dbg(*(M + m + A_all + b_all + [g_s]))
 
         d_inv = 1.0 / (eigs + lam[None, :])  # (K, Bt)
 
@@ -375,6 +411,9 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             du = -Cig
         mu_c = mu_rows[:n_tc]
         nu = mu_rows[n_tc:]
+
+        if _stop_after == 3:  # after the spectral/Schur KKT solve
+            return _dbg(du, *mu_rows)
 
         # State-step expansion by the forward recursion.
         dx = [-pin[i] for i in range(sd)]
@@ -463,6 +502,10 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             qp_ok = qp_ok & jnp.all(jnp.isfinite(dxs[i]), axis=0)
         if n_all:
             qp_ok = qp_ok & jnp.all(jnp.isfinite(mu_v), axis=0)
+
+        if _stop_after == 4:  # after expansion + diagnostics
+            return _dbg(*(dxs + [first_order, nu_inf,
+                                 qp_ok.astype(dtype)]))
 
         # ================================================ merit + trials
         cost = 0.5 * (
@@ -556,6 +599,9 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         phi_tr = cost_a + mu_new[None, :] * viol_a
         phi_tr = jnp.where(jnp.isfinite(phi_tr), phi_tr, jnp.inf)
         slack = config.merit_slack_ulps * eps * jnp.abs(phi0)
+        if _stop_after == 5:  # after the folded trial rollouts
+            return _dbg(phi_tr, phi0, dphi)
+
         alpha_used = jnp.zeros((Bt,), dtype)
         phi_sel = jnp.zeros((Bt,), dtype)
         found = jnp.zeros((Bt,), bool)
