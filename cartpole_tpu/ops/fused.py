@@ -712,22 +712,29 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                term_ref, fo_ref,
                xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o, fo_o,
                tc_o, tv_o, tl_o, ta_o, tf_o, tap_o):
+        # 1-D (B,)-batched operands ride as (1, B) with (1, Bt) blocks:
+        # XLA picks a T(1024) 1-D tiling for f32[4096] that Mosaic
+        # rejects against any other block size ("XLA layout does not
+        # match Mosaic layout", measured 2026-08-20); 2-D rows tile as
+        # (8, 128) and decouple the block from B.
         outs = body(
             jax.tree.unflatten(
                 treedef, [params_ref[0, i] for i in range(n_p)]
             ),
             [xc_ref[i, :] for i in range(sd)],  # per-coord (Bt,)
-            spt_ref[...], up_ref[...],
+            spt_ref[0, :], up_ref[0, :],
             [xs_ref[i, :, :] for i in range(sd)],  # per-coord (N, Bt)
-            u_ref[...], lam_ref[...], mu_ref[...], merit_ref[...],
-            done_ref[...] != 0, term_ref[...], fo_ref[...],
+            u_ref[...], lam_ref[0, :], mu_ref[0, :], merit_ref[0, :],
+            done_ref[0, :] != 0, term_ref[0, :], fo_ref[0, :],
             QT_ref[...], Q_ref[...], eigs_ref[...],
             JuT_ref[...], Juc_ref[...],
         )
-        out_refs = (xs_o, u_o, lam_o, mu_o, merit_o, done_o, term_o,
+        xs_o[...] = outs[0]
+        u_o[...] = outs[1]
+        row_refs = (lam_o, mu_o, merit_o, done_o, term_o,
                     fo_o, tc_o, tv_o, tl_o, ta_o, tf_o, tap_o)
-        for ref, val in zip(out_refs, outs):
-            ref[...] = val
+        for ref, val in zip(row_refs, outs[2:]):
+            ref[0, :] = val
 
     # ------------------------------------------------------ pallas plumbing
     def rep(shape):
@@ -745,32 +752,41 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
 
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
+    def row():
+        # (B,)-batched scalars as (1, B) arrays with (1, Bt) blocks —
+        # see the layout note in ``kernel``.
+        return pl.BlockSpec(
+            (1, Bt), (lambda i: (0, i)), memory_space=pltpu.VMEM
+        )
+
     in_specs = [
         pl.BlockSpec((1, n_p), (lambda *_: (0, 0)), memory_space=pltpu.SMEM),
         rep((K, K)), rep((K, K)), rep((K, 1)),
         rep((K, n_u)), rep((n_u, K)),
-        batched((sd,)), batched(()), batched(()),
+        batched((sd,)), row(), row(),
         batched((sd, N)), batched((K,)),
-        batched(()), batched(()), batched(()),
-        batched(()), batched(()), batched(()),
+        row(), row(), row(),
+        row(), row(), row(),
     ]
     f = dtype
+
+    def rshape(dt=f):
+        return jax.ShapeDtypeStruct((1, B), dt)
+
     out_shape = [
         jax.ShapeDtypeStruct((sd, N, B), f),
         jax.ShapeDtypeStruct((K, B), f),
-    ] + [jax.ShapeDtypeStruct((B,), f)] * 3 + [
-        jax.ShapeDtypeStruct((B,), jnp.int32),
-        jax.ShapeDtypeStruct((B,), jnp.int32),
-        jax.ShapeDtypeStruct((B,), f),
-    ] + [jax.ShapeDtypeStruct((B,), f)] * 5 + [
-        jax.ShapeDtypeStruct((B,), jnp.int32),
+        rshape(), rshape(), rshape(),
+        rshape(jnp.int32), rshape(jnp.int32), rshape(),
+        rshape(), rshape(), rshape(), rshape(), rshape(),
+        rshape(jnp.int32),
     ]
     out_specs = [
         batched((sd, N)), batched((K,)),
-        batched(()), batched(()), batched(()),
-        batched(()), batched(()), batched(()),
-        batched(()), batched(()), batched(()), batched(()), batched(()),
-        batched(()),
+        row(), row(), row(),
+        row(), row(), row(),
+        row(), row(), row(), row(), row(),
+        row(),
     ]
     if emulate:
         # Manual application of the SAME grid/BlockSpec tiling (batched
@@ -800,7 +816,7 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                 for k in range(14)
             )
     else:
-        call = pl.pallas_call(
+        pallas_fn = pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=in_specs,
@@ -808,6 +824,17 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             out_shape=out_shape,
             interpret=interpret,
         )
+
+        def call(params_a, QT_a, Q_a, eigs_a, JuT_a, Juc_a,
+                 xc_a, spt_a, up_a, xs_a, u_a, lam_a, mu_a,
+                 merit_a, done_a, term_a, fo_a):
+            outs = pallas_fn(
+                params_a, QT_a, Q_a, eigs_a, JuT_a, Juc_a,
+                xc_a, spt_a[None], up_a[None], xs_a, u_a,
+                lam_a[None], mu_a[None], merit_a[None],
+                done_a[None], term_a[None], fo_a[None],
+            )
+            return outs[:2] + tuple(o[0] for o in outs[2:])
 
     xc_arr = problem.x_current
     spt_arr = problem.set_point
