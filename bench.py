@@ -118,9 +118,22 @@ def _build_runner(args, ticks, kkt, dtype, dp):
     layout = "lanes" if (args.layout == "lanes" and kkt == "condensed") \
         else "vmap"
     if layout == "lanes":
+        fused = getattr(args, "fused", False)
+        fused_opts = None
+        if fused:
+            # VMEM-fit tiles, measured on v5e: 512 is the single model's
+            # throughput peak (1.19M solves/s); the double/triple
+            # kernels' ~3x working set OOMs scoped vmem above 128.
+            tile = 512 if args.model == "single" else 128
+            fused_opts = {"batch_tile": min(tile, args.batch),
+                          "interpret": False}
+            if args.batch % fused_opts["batch_tile"]:
+                fused = False  # odd batch: fall back to the XLA path
+
         def run(x0s, sps, st):
             return run_closed_loop_lanes(
-                mpc, x0s, dp, ticks, sps, mpc_state=st
+                mpc, x0s, dp, ticks, sps, mpc_state=st,
+                fused=fused, fused_opts=fused_opts,
             )
     else:
         if args.layout == "lanes":
@@ -133,6 +146,8 @@ def _build_runner(args, ticks, kkt, dtype, dp):
                     mpc, x, dp, ticks, s, mpc_state=st_
                 )
             )(x0s, sps, st)
+    if layout == "lanes" and getattr(args, "fused", False) and fused:
+        layout = "lanes-fused"
     return mpc, jax.jit(run), layout
 
 
@@ -291,7 +306,17 @@ def main(argv=None):
     ap.add_argument("--sweep", action="store_true",
                     help="latency/throughput matrix over batch sizes -> "
                     "bench_sweep.json (single JSON line still printed)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="disable the fused GN-iteration Pallas "
+                    "megakernel (ops/fused.py) and time the plain XLA "
+                    "lanes path instead. On TPU the fused kernel is the "
+                    "default for the lanes layout: measured 1.19M vs "
+                    "563k solves/s at batch 4096 x 50 ticks on v5e "
+                    "(2026-08-20). Always off on --cpu (the unrolled "
+                    "body takes XLA:CPU minutes to compile).")
     args = ap.parse_args(argv)
+    args.fused = (not args.no_fused and not args.cpu
+                  and args.layout == "lanes" and args.kkt == "condensed")
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -434,10 +459,17 @@ def _double_health(args, dtype, dp_model="double"):
 def _sweep(args, dp, dtype, dev):
     """Latency/throughput matrix (VERDICT r1 item 4): batch sweep at the
     default path + small cross-path comparison, written machine-readable."""
+    import copy
+
     rows = []
     batches = (64, 256, 1024, 4096, 16384)
     for n in batches:
-        mpc, run, layout = _build_runner(args, args.ticks, args.kkt, dtype, dp)
+        # Per-batch args copy: the fused kernel's batch_tile must divide
+        # the ACTUAL batch of this row, not the global --batch.
+        nargs = copy.copy(args)
+        nargs.batch = n
+        mpc, run, layout = _build_runner(nargs, args.ticks, args.kkt,
+                                         dtype, dp)
         x0s = make_x0s(args.model, n, dtype)
         sps = jnp.zeros((n,), dtype)
         st0 = _cold_state(mpc, n, dtype)
