@@ -25,20 +25,30 @@ Lagrangian (via ``jax.grad``), not the solver's Gauss-Newton
 approximation, so gradients match finite differences to solver-convergence
 accuracy (``tests/test_diff.py``).
 
-Active bounds: coordinates clamped at ``±u_limit`` / ``±b_x_limit`` are
-handled as Dirichlet rows — the active coordinate is treated as FIXED
-(``dz_i = 0``, no gradient flows through it). This keeps the adjoint
-system well-posed, but the result is an APPROXIMATION whenever clamps are
-active: the forward solver enforces bounds by retraction (clamping the GN
-step, ``mpc/problem.py`` — the reference's scheme, optimization.cc:319-328),
-so its limit point under saturation is a clamp fixed point rather than a
-KKT point of the bound-constrained problem (the equality residuals and the
-projected gradient both stay O(1e-1) there — measured, see
-``tests/test_diff.py::TestActiveBounds``), and no implicit-function formula
-on the idealized KKT system can reproduce d(solve)/dθ exactly (measured
-~40% deviation from finite differences on a mildly saturated solve).
-Exact gradients require the solution to be INTERIOR — true for the
-disturbance-rejection / sysid / imitation regimes this is built for.
+Active bounds (measured 2026-08-20, round 4): the forward solver enforces
+bounds by retraction (clamping the GN step — the reference's scheme,
+optimization.cc:319-328). Under saturation its limit point is NOT a KKT
+point of the bound-constrained problem, and — the round-4 finding — it is
+not a clean "clamp fixed point" either: measured saturated limits are
+λ-STABILIZED STALLS. At the round-3 test point the solver terminates
+MAX_LAMBDA (λ ratchets to 2.5e6 in a rejection loop); at a milder point
+it converges by relative tolerance with λ_final ~1e3, where the damped GN
+step is ~0 but the λ→0 step does NOT vanish on the inactive coordinates
+(measured ||d_inactive|| 0.38 at λ→0 vs 1e-5 at λ_final). The stall
+location depends on the damping schedule's history, so NO implicit
+system — neither the interior KKT, nor Dirichlet-frozen active rows, nor
+the full clamp-fixed-point system [GN stationarity in d; linearized
+feasibility; active pins] implemented below — reproduces d(solve)/dθ
+there (all measured 20–40% off finite differences).
+
+The ``"ift"`` backward therefore solves the unified clamp-fixed-point
+system: exact at interior convergence (d ≡ 0 collapses it to the plain
+KKT IFT; FD-verified <3e-7), well-posed best-effort at clamps, with
+``dz_i/dθ = 0`` through every clamped coordinate. For EXACT saturated
+gradients use ``method="unrolled"`` — it differentiates the fixed-trip
+algorithm itself and matches FD to <1e-8 at a measured clamped stall —
+and read ``with_diagnostics=True`` to detect the regime at runtime
+(``n_active > 0``, or a MAX_LAMBDA ``termination_state``).
 Differentiation wrt θ = (x_current, dynamics_params, set_point); the warm
 start selects the local basin and correctly carries no gradient.
 
@@ -89,7 +99,9 @@ def _pad_solve(M, rhs):
 
 
 def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
-                              multiplier_ridge: float = 1e-12):
+                              multiplier_ridge: float = 1e-12,
+                              with_diagnostics: bool = False,
+                              method: str = "ift"):
     """Build ``solve(x_current, dynamics_params, set_point, state) -> z``
     with exact implicit-function-theorem gradients wrt
     ``(x_current, dynamics_params, set_point)``.
@@ -101,11 +113,39 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
     for the shooting states. Compose into larger differentiable programs
     (losses over ``u``, predicted rollouts, closed-loop imitation) freely.
 
+    ``with_diagnostics=True`` returns ``(z, diag)`` instead, where
+    ``diag`` is ``{"active": (dim,) bool, "n_active": int32}`` — the
+    bound active set the backward pass will differentiate around. A
+    nonzero ``n_active`` is the runtime signal that the solve sits at a
+    clamp fixed point (gradients then use the clamp-fixed-point system
+    below and are FD-exact only while the active set is locally
+    constant; FD across an activation boundary is one-sided).
+
     Gradients are exact when the forward solver has converged (run enough
     ``max_iterations``; f64 recommended for gradient work) and the bound
     active set is locally constant. ``bound_tol`` decides which
     coordinates count as clamped.
+
+    ``method`` selects the backward pass:
+
+    - ``"ift"`` (default): one adjoint linear solve on the implicit
+      system — exact at interior convergence (FD-verified <3e-7),
+      best-effort at clamp stalls (measured 20–40% FD deviation there;
+      see the module docstring for why no implicit system can be exact
+      at a damping-stabilized stall).
+    - ``"unrolled"``: differentiates the fixed-trip solver itself —
+      ALGORITHM-exact everywhere (a.e.), including saturated solves
+      (FD-verified <1e-3 at a clamped stall). Costs ``n_θ`` extra
+      forward solves: the backward contracts FORWARD-mode Jacobians
+      (``jacfwd`` over x/dynamics_params/set_point) because XLA:CPU
+      MISCOMPILES the transposed (reverse-mode) program of the condensed
+      path — measured 2026-08-20: ``jax.grad`` through two or more
+      condensed GN iterations is silently ~20% wrong while ``jax.jvp``
+      matches finite differences to 1e-6 and both agree with jit
+      disabled. Forward-over-solve is immune.
     """
+    if method not in ("ift", "unrolled"):
+        raise ValueError(f"unknown method {method!r}")
     spec = mpc.spec
     p = mpc.params
 
@@ -115,17 +155,33 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
         u_prev = state.previous_solution.astype(dtype)[spec.u_start:]
         return jnp.where(state.warm, u_prev[0], jnp.zeros((), dtype))
 
+    def _limits(dtype):
+        u_mask = jnp.asarray(spec._u_mask)
+        pos_mask = jnp.asarray(spec._pos_mask)
+        return jnp.where(
+            u_mask, jnp.asarray(p.u_limit, dtype),
+            jnp.where(pos_mask, jnp.asarray(p.b_x_limit, dtype),
+                      jnp.asarray(jnp.inf, dtype)),
+        )
+
+    def _active_mask(z):
+        return jnp.abs(z) >= _limits(z.dtype) - bound_tol
+
     def _forward(x, dp, sp, state):
         outputs, _new_state = mpc.step(state, x, dp, b_x_set_point=sp)
-        return outputs.solution
+        z = outputs.solution
+        active = _active_mask(z)
+        return z, {"active": active,
+                   "n_active": jnp.sum(active.astype(jnp.int32)),
+                   "termination_state": outputs.solver.termination_state}
 
     @jax.custom_vjp
     def solve(x, dp, sp, state):
         return _forward(x, dp, sp, state)
 
     def fwd(x, dp, sp, state):
-        z = _forward(x, dp, sp, state)
-        return z, (z, x, dp, sp, state)
+        z, diag = _forward(x, dp, sp, state)
+        return (z, diag), (z, x, dp, sp, state)
 
     # Static scatter map: segment s's local variables are
     # (x_s, u_segment_s) — the only z-coordinates its defect touches
@@ -139,15 +195,12 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
 
     def bwd(res, w):
         z, x, dp, sp, state = res
+        wz = w[0]  # the diag cotangent (w[1]) is integer/bool: no flow
         dtype = z.dtype
+        nz = spec.dim
         u_prev = _u_prev_continuity(state, dtype)
-
-        # Clamped-coordinate mask (Dirichlet rows; see module docstring).
-        u_mask = jnp.asarray(spec._u_mask)
-        pos_mask = jnp.asarray(spec._pos_mask)
-        limit = jnp.where(u_mask, p.u_limit, jnp.where(pos_mask, p.b_x_limit,
-                                                       jnp.inf))
-        active = jnp.abs(z) >= limit - bound_tol
+        active = _active_mask(z)
+        a_f = active.astype(dtype)
 
         def cost(z_, sp_):
             r = spec.cost_residuals(z_, sp_, u_prev)
@@ -162,75 +215,112 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
             xs_, _ = spec._split(z_)
             return spec._linear_eq_residuals(xs_, x_, sp_)
 
-        # Multiplier recovery at z*: least squares on the INACTIVE
-        # stationarity rows,  min_ν ||P (∇f + Aᵀ ν)||².
+        # ---- The clamp-fixed-point system (see module docstring). The
+        # forward solver's limit point satisfies, with d the (unclipped)
+        # GN step and μ its multipliers, in the λ→0 damping limit:
+        #   E1 (n_z):  Hc d + g + Gᵀ μ = 0      (GN-step stationarity)
+        #   E2 (n_c):  G d + c = 0              (linearized feasibility)
+        #   E3 (n_z):  active_i ? z_i ∓ lim : d_i = 0
+        # Interior solves are the a = 0 special case (d ≡ 0, E2 ⇒ c = 0):
+        # the system collapses to the ordinary KKT IFT, so one code path
+        # serves both regimes with STATIC shapes (2·n_z + n_c).
         g0 = jax.grad(cost)(z, sp)
-        A = jax.jacfwd(cons)(z, x, dp, sp)          # (n_c, n_z)
-        P = (~active).astype(dtype)
-        APt = A * P[None, :]
+        c0 = cons(z, x, dp, sp)
+        A = jax.jacfwd(cons)(z, x, dp, sp)          # G, (n_c, n_z)
         n_c = A.shape[0]
-        S = APt @ APt.T + multiplier_ridge * jnp.eye(n_c, dtype=dtype)
-        nu = _pad_solve(S, -(APt @ (P * g0)))
+        Hc = jax.hessian(cost)(z, sp)               # ∂g/∂z (a.e. constant)
 
-        # ---- KKT matrix, assembled from SEPARABLE second derivatives.
-        # A monolithic jacfwd of the stationarity map over the whole
-        # window is both O(n²) wasteful and — measured on this image —
-        # miscompiled by XLA:CPU beyond ~8 segments (heap corruption).
-        # The Lagrangian's curvature splits exactly:
-        #   ∇²L = ∇²cost  (dynamics-free)
-        #       + Σ_s ∇²[ν_sᵀ segment_s]   (each over its 9 local vars)
-        # (pin/terminal rows are linear in z — zero curvature a.e.).
+        # Forward-value recovery of (d, μ) at z*: least squares of
+        # [Hc D_a, Gᵀ; G D_a, 0] (d̃, μ) = (-g, -c), d = D_a d̃ — the
+        # E3 rows eliminated by searching d in the active span only.
+        Hd = Hc * a_f[None, :]
+        Ad = A * a_f[None, :]
+        A_ls = jnp.block([[Hd, A.T], [Ad, jnp.zeros((n_c, n_c), dtype)]])
+        b_ls = jnp.concatenate([-g0, -c0])
+        N_ls = A_ls.T @ A_ls + multiplier_ridge * jnp.eye(
+            nz + n_c, dtype=dtype)
+        y = _pad_solve(N_ls, A_ls.T @ b_ls)
+        d = a_f * y[:nz]
+        mu = y[nz:]
+
+        # ---- Jacobian blocks, assembled from SEPARABLE second
+        # derivatives. A monolithic jacfwd of the stationarity map over
+        # the whole window is both O(n²) wasteful and — measured on this
+        # image — miscompiled by XLA:CPU beyond ~8 segments (heap
+        # corruption). Curvature splits exactly:
+        #   ∂E1/∂z = Hc + Σ_s ∇²[μ_sᵀ seg_s]          (S(μ), scattered)
+        #   ∂E2/∂z = G + Σ_s ∂/∂v[∂seg_s/∂v · d_s]    (W(d), scattered)
+        # (pin/terminal rows are linear in z — zero curvature a.e.; the
+        # Hc·d term is θ- and z-independent a.e. since every cost
+        # residual is linear a.e.).
         xs, useg = spec._split(z)
         vs = jnp.concatenate([xs[:-1], useg], axis=1)   # (n_seg, sd+k)
-        nu_def = nu[:n_def].reshape(n_seg, sd)
-
-        def seg_scalar(v, nu_s, dp_):
-            segf = spec._segment_fn(dp_)
-            return jnp.dot(nu_s, segf(v[:sd], v[sd:]))
-
-        H = jax.hessian(cost)(z, sp)
-        Hseg = jax.vmap(jax.hessian(seg_scalar), in_axes=(0, 0, None))(
-            vs, nu_def, dp)                              # (n_seg, sd+k, sd+k)
+        mu_def = mu[:n_def].reshape(n_seg, sd)
         idx = jnp.asarray(_idx)
-        H = H.at[idx[:, :, None], idx[:, None, :]].add(Hseg)
+        d_v = d[idx]                                    # (n_seg, sd+k)
 
-        # Dirichlet rows for clamped coordinates: row i of the
-        # stationarity block becomes e_i (zero against the Aᵀ block).
-        eye = jnp.eye(spec.dim, dtype=dtype)
-        G = jnp.where(active[:, None], eye, H)
-        B = jnp.where(active[:, None], jnp.zeros((), dtype), A.T)
-        M = jnp.block([[G, B], [A, jnp.zeros((n_c, n_c), dtype)]])
-        rhs = jnp.concatenate([w, jnp.zeros((n_c,), dtype)])
+        def seg_scalar(v, m_s, dp_):
+            segf = spec._segment_fn(dp_)
+            return jnp.dot(m_s, segf(v[:sd], v[sd:]))
+
+        Hseg = jax.vmap(jax.hessian(seg_scalar), in_axes=(0, 0, None))(
+            vs, mu_def, dp)                             # (n_seg, sd+k, sd+k)
+        Smu = jnp.zeros((nz, nz), dtype).at[
+            idx[:, :, None], idx[:, None, :]].add(Hseg)
+
+        def seg_w_rows(v, d_s, dp_):
+            segf = spec._segment_fn(dp_)
+            f = lambda vv: segf(vv[:sd], vv[sd:])
+            return jax.jacfwd(
+                lambda vv: jax.jvp(f, (vv,), (d_s,))[1])(v)  # (sd, sd+k)
+
+        Wseg = jax.vmap(seg_w_rows, in_axes=(0, 0, None))(vs, d_v, dp)
+        row_idx = jnp.arange(n_def).reshape(n_seg, sd)
+        W = jnp.zeros((n_c, nz), dtype).at[
+            row_idx[:, :, None], idx[:, None, :]].add(Wseg)
+
+        eye = jnp.eye(nz, dtype=dtype)
+        D_a = a_f[:, None] * eye
+        M = jnp.block([
+            [Hc + Smu, Hc, A.T],
+            [A + W, A, jnp.zeros((n_c, n_c), dtype)],
+            [D_a, eye - D_a, jnp.zeros((nz, n_c), dtype)],
+        ])
+        rhs = jnp.concatenate([wz, jnp.zeros((n_c + nz,), dtype)])
         lam = _pad_solve(M.T, rhs)
+        phi1 = lam[:nz]                 # E1 adjoint
+        phi2 = lam[nz:nz + n_c]         # E2 adjoint (E3 is θ-free)
 
-        # ---- θ-gradients: -λᵀ ∂F/∂θ with F = [∇_z L; c], again split
-        # into the dynamics-free part (x, sp enter via cost/pin/terminal)
-        # and per-segment parts (dp enters via the RK4 chains). Clamped
-        # rows of F are z_i - const: θ-independent, so they are excluded
-        # from λ_z.
-        lam_z = jnp.where(active, jnp.zeros((), dtype), lam[: spec.dim])
-        lam_c = lam[spec.dim:]
-        lam_def = lam_c[:n_def].reshape(n_seg, sd)
-        lam_v = lam_z[idx]                               # (n_seg, sd+k)
-        nu_lin = nu[n_def:]
-        lam_lin = lam_c[n_def:]
+        # ---- θ-gradients: -φᵀ ∂F/∂θ, split into the dynamics-free part
+        # (x, sp enter via cost/pin/terminal) and per-segment parts (dp
+        # enters via the RK4 chains). New vs the interior-only scheme:
+        # E2 contributes both its value term (φ2ᵀ c) and its step
+        # coupling (φ2ᵀ ∂(G d)/∂θ — the `gd` jvp below); the static
+        # rows' G·d term has constant coefficients and no θ-flow.
+        phi2_def = phi2[:n_def].reshape(n_seg, sd)
+        phi2_lin = phi2[n_def:]
+        nu_lin = mu[n_def:]
+        phi1_v = phi1[idx]                              # (n_seg, sd+k)
 
         def phi_static(x_, sp_):
             def l_static(z_):
                 return cost(z_, sp_) + jnp.dot(
                     nu_lin, static_cons(z_, x_, sp_))
 
-            dir_grad = jax.jvp(l_static, (z,), (lam_z,))[1]
-            return dir_grad + jnp.dot(lam_lin, static_cons(z, x_, sp_))
+            dir_grad = jax.jvp(l_static, (z,), (phi1,))[1]
+            return dir_grad + jnp.dot(phi2_lin, static_cons(z, x_, sp_))
 
         def phi_dyn(dp_):
-            def one(v, nu_s, lam_vs, lam_ds):
-                f = lambda vv: seg_scalar(vv, nu_s, dp_)
-                mixed = jax.jvp(f, (v,), (lam_vs,))[1]
+            def one(v, mu_s, p1_s, p2_s, d_s):
+                f = lambda vv: seg_scalar(vv, mu_s, dp_)
+                mixed = jax.jvp(f, (v,), (p1_s,))[1]
+                fd = lambda vv: seg_scalar(vv, p2_s, dp_)
+                gd = jax.jvp(fd, (v,), (d_s,))[1]
                 segf = spec._segment_fn(dp_)
-                return mixed + jnp.dot(lam_ds, segf(v[:sd], v[sd:]))
+                return mixed + gd + jnp.dot(p2_s, segf(v[:sd], v[sd:]))
 
-            return jnp.sum(jax.vmap(one)(vs, nu_def, lam_v, lam_def))
+            return jnp.sum(
+                jax.vmap(one)(vs, mu_def, phi1_v, phi2_def, d_v))
 
         gx, gsp = jax.grad(phi_static, argnums=(0, 1))(x, sp)
         gdp = jax.grad(phi_dyn)(dp)
@@ -238,5 +328,25 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
         g_state = jax.tree.map(jnp.zeros_like, state)
         return neg(gx), neg(gdp), neg(gsp), g_state
 
-    solve.defvjp(fwd, bwd)
-    return solve
+    def bwd_unrolled(res, w):
+        # Forward-mode Jacobians of the unrolled fixed-trip solver,
+        # contracted with the cotangent. Exact for the algorithm a.e.
+        # (clamps, line search, damping schedule included), and immune to
+        # the XLA:CPU transpose miscompile documented above because no
+        # reverse-mode program over the solver is ever built.
+        z, x, dp, sp, state = res
+        wz = w[0]
+
+        def f(x_, dp_, sp_):
+            return _forward(x_, dp_, sp_, state)[0]
+
+        Jx, Jdp, Jsp = jax.jacfwd(f, argnums=(0, 1, 2))(x, dp, sp)
+        contract = lambda J: jnp.tensordot(wz, J, axes=((0,), (0,)))
+        g_state = jax.tree.map(jnp.zeros_like, state)
+        return (jax.tree.map(contract, Jx), jax.tree.map(contract, Jdp),
+                jax.tree.map(contract, Jsp), g_state)
+
+    solve.defvjp(fwd, bwd if method == "ift" else bwd_unrolled)
+    if with_diagnostics:
+        return solve
+    return lambda x, dp, sp, state: solve(x, dp, sp, state)[0]

@@ -158,52 +158,6 @@ class TestDefaultWindow:
         assert np.allclose(g, g_fd, rtol=2e-4, atol=1e-7), (g, g_fd)
 
 
-class TestActiveBounds:
-    """Saturated solves: the forward solver enforces bounds by retraction
-    (step clamping), so under saturation its limit point is a clamp fixed
-    point, NOT a KKT point of the bound-constrained problem — measured
-    equality residuals and projected gradients stay O(1e-1) there, and no
-    IFT formula can match finite differences (measured ~40% deviation).
-    The module therefore promises exactness only for INTERIOR solutions
-    (see the diff.py docstring); at clamps it promises a well-posed,
-    finite gradient with zero flow through the clamped coordinates. These
-    tests pin the mechanism, not FD-exactness."""
-
-    def test_clamped_gradient_finite_and_blocked(self):
-        mpc = _small_mpc(u_limit=25.0, max_iterations=40)
-        dp = default_single_params(jnp.float64)
-        solve = make_differentiable_solve(mpc)
-        state = _cold_state(mpc)
-        spec = mpc.spec
-        # Unclamped optimum peaks at |u| ~ 32 here: a few controls clamp.
-        x0 = jnp.array([0.1, np.pi / 2 + 0.15, -0.05, 0.1], jnp.float64)
-
-        z = solve(x0, dp, 0.0, state)
-        u = np.asarray(z[spec.u_start :])
-        n_sat = int(np.sum(np.abs(u) >= 25.0 - 1e-6))
-        assert n_sat >= 2, "test needs binding bounds"
-
-        # (a) Loss on a CLAMPED control only: the Dirichlet row blocks all
-        # first-order dependence — the gradient must be exactly zero.
-        i_sat = int(np.argmax(np.abs(u) >= 25.0 - 1e-6))
-
-        def loss_sat(x):
-            zz = solve(x, dp, 0.0, state)
-            return zz[spec.u_start + i_sat] ** 2
-
-        g_sat = np.asarray(jax.grad(loss_sat)(x0))
-        assert np.all(g_sat == 0.0), g_sat
-
-        # (b) Loss over the whole window: finite, nonzero gradients (the
-        # inactive coordinates still carry sensitivity).
-        def loss(x):
-            zz = solve(x, dp, 0.0, state)
-            return jnp.sum(zz[spec.u_start :] ** 2)
-
-        g = np.asarray(jax.grad(loss)(x0))
-        assert np.all(np.isfinite(g)) and np.any(g != 0.0), g
-
-
 class TestComposability:
     def test_vmap_and_jit(self, setup):
         """The differentiable solve composes with vmap + jit + grad —
