@@ -54,6 +54,18 @@ DOUBLE_SOFT_OPT_KWARGS = dict(
     u_guess_sinusoid_amplitude=0.0,
 )
 
+#: Transient shaping for the double pole's first ~50 cold-start ticks
+#: (scripts/probe_transient_shaping.py, v5e batch 4096, 2026-08-20): an
+#: 8x u-rate-limit during the transient prevents the high-energy
+#: tumbling knockdowns at the SOURCE — 250-tick knockdowns 76 -> 18
+#: (0.9814 -> 0.9956 upright), replicated on seeds 1/2 (72 -> 20,
+#: 83 -> 14), zero failed solves. Dose-response is monotone (0.2/0.4/0.8x
+#: weights -> 80/45/18) and the same weight applied FOREVER is worse
+#: than baseline (133: the controller needs its agility back after the
+#: transient) — this is a real prevention mechanism, not chaos. Applied
+#: by _double_health to its first chunk only.
+DOUBLE_TRANSIENT_OPT_KWARGS = dict(u_derivative_cost_weight=0.8)
+
 # Persistent compilation cache: the tunneled-TPU AOT compile of the
 # closed-loop program costs minutes; cached runs skip it entirely.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -89,7 +101,7 @@ def make_x0s(model, n, dtype, seed=0):
     return jnp.asarray(x0s, dtype)
 
 
-def _build_runner(args, ticks, kkt, dtype, dp):
+def _build_runner(args, ticks, kkt, dtype, dp, extra_opt_kwargs=None):
     """Returns ``(mpc, jitted run(x0s, sps, mpc_state), effective_layout)``.
 
     The runner takes the warm-start state EXPLICITLY so the cold start, the
@@ -108,6 +120,8 @@ def _build_runner(args, ticks, kkt, dtype, dp):
         # fraction_upright 0.978@250 ticks -> 0.992@500, zero failed
         # solves (knockdowns.json has the full recovery curve).
         opt_kwargs.update(DOUBLE_SOFT_OPT_KWARGS)
+    if extra_opt_kwargs:
+        opt_kwargs.update(extra_opt_kwargs)
     mpc = make_mpc(OptimizationParams(**opt_kwargs), get_model(args.model))
     # ``dp`` is captured as a closure CONSTANT, not a traced argument:
     # XLA then constant-folds the parameter arithmetic inside the
@@ -429,10 +443,18 @@ def _double_health(args, dtype, dp_model="double"):
     )
     n, ticks = dargs.batch, dargs.ticks
     mpc, run, _layout = _build_runner(dargs, ticks, dargs.kkt, dtype, dp)
+    # First (cold-start) chunk runs the transient-shaped configuration:
+    # measured prevention of the tumbling knockdowns at the source (see
+    # DOUBLE_TRANSIENT_OPT_KWARGS). Same problem size, so this chunk is
+    # also the timed one.
+    _mpc_t, run_t, _ = _build_runner(
+        dargs, ticks, dargs.kkt, dtype, dp,
+        extra_opt_kwargs=DOUBLE_TRANSIENT_OPT_KWARGS,
+    )
     x0s = make_x0s(dargs.model, n, dtype)
     sps = jnp.zeros((n,), dtype)
     st0 = _cold_state(mpc, n, dtype)
-    best, res = _time_run(run, x0s, sps, st0, dargs.reps)
+    best, res = _time_run(run_t, x0s, sps, st0, dargs.reps)
     total_failed = _health(res)
     out = {"double_solves_per_s": round(n * ticks / best, 1)}
     if dargs.no_upright:
@@ -453,6 +475,12 @@ def _double_health(args, dtype, dp_model="double"):
             _upright_fraction(x, mpc.model.angle_indices), 4),
         "double_upright_ticks": ticks_run,
         "double_n_failed": total_failed,
+        "double_transient": (
+            f"u_derivative_cost_weight="
+            f"{DOUBLE_TRANSIENT_OPT_KWARGS['u_derivative_cost_weight']} "
+            f"for the first {ticks} ticks (knockdown prevention, "
+            "transient_shaping.json)"
+        ),
     }
 
 

@@ -82,6 +82,7 @@ def main():
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--variants", default=",".join(VARIANTS))
     ap.add_argument("--tile", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
     from cartpole_tpu import OptimizationParams, get_model, make_mpc
@@ -92,7 +93,7 @@ def main():
     dp = jax.tree.map(lambda v: jnp.asarray(v, dtype),
                       model.default_params())
     n = args.batch
-    rng = np.random.RandomState(0)
+    rng = np.random.RandomState(args.seed)
     up = math.pi / 2
     x0s = np.tile(np.array([0.0, up, up, 0.0, 0.0, 0.0]), (n, 1))
     x0s[:, 0] += rng.uniform(-0.3, 0.3, n)
@@ -118,7 +119,7 @@ def main():
             fused=True, fused_opts=fused_opts,
         ))
 
-    results = {"batch": n, "phase_a": args.phase_a, "total": args.total}
+    results = {"batch": n, "phase_a": args.phase_a, "total": args.total, "seed": args.seed}
     mpc_bench, run_bench = runner(BENCH_KW)
     for name in args.variants.split(","):
         vkw = dict(VARIANTS[name])
