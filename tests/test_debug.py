@@ -112,17 +112,26 @@ class TestAssertAllFinite:
 
 class TestLeakCheck:
     def test_counts_live_buffers(self):
+        import gc
+
         from cartpole_tpu.utils import leak_check
 
+        # Collect BEFORE the baseline: the count/nbytes fields are deltas,
+        # so arrays from earlier tests dying between baseline and report
+        # would eat the +4 (seen once as 2 >= 4 in the round-4 CI proof).
+        gc.collect()
         base = leak_check()
         keep = [(jnp.zeros((17, 3)) + i).block_until_ready()
                 for i in range(4)]
-        report = leak_check(baseline=base["count"])
-        assert report["count"] >= 4
-        assert report["nbytes"] >= base["nbytes"] + 4 * 17 * 3 * 8
+        report = leak_check(baseline=base)
+        # Per-shape delta is immune to unrelated same-window GC unless it
+        # frees this exact dtype/shape (nothing else allocates (17, 3)).
+        assert report["by_shape"].get("float64[17, 3]", 0) >= 4
         assert any("[17, 3]" in k for k in report["by_shape"])
         del keep
-        report_after = leak_check(baseline=base["count"])
+        gc.collect()
+        report_after = leak_check(baseline=base)
+        assert report_after["by_shape"].get("float64[17, 3]", 0) <= 0
         assert report_after["nbytes"] < report["nbytes"]
 
     def test_dict_baseline_subtracts_nbytes_and_shapes(self):
