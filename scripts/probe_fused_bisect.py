@@ -46,7 +46,7 @@ def main():
 
     from cartpole_tpu import (
         OptimizationParams, default_double_params, default_single_params,
-        get_model, make_mpc,
+        default_triple_params, get_model, make_mpc,
     )
     from cartpole_tpu.mpc import lanes as L
     from cartpole_tpu.ops.fused import make_fused_iteration
@@ -61,8 +61,11 @@ def main():
         ),
         model,
     )
-    dp = (default_single_params(dtype) if args.model == "single"
-          else default_double_params(dtype))
+    dp = {
+        "single": default_single_params,
+        "double": default_double_params,
+        "triple": default_triple_params,
+    }[args.model](dtype)
     B = args.batch
     sd = model.state_dim
     xc = jnp.zeros((sd, B), dtype)
