@@ -138,11 +138,15 @@ def _build_runner(args, ticks, kkt, dtype, dp, extra_opt_kwargs=None):
             # VMEM-fit tiles, measured on v5e: 512 is the single model's
             # throughput peak (1.19M solves/s); the double/triple
             # kernels' ~3x working set OOMs scoped vmem above 128.
+            # Tiles below 128 would under-fill the TPU lane dimension
+            # (and trip Mosaic layout faults) — small/odd batches fall
+            # back to the XLA lanes path.
             tile = 512 if args.model == "single" else 128
-            fused_opts = {"batch_tile": min(tile, args.batch),
-                          "interpret": False}
-            if args.batch % fused_opts["batch_tile"]:
-                fused = False  # odd batch: fall back to the XLA path
+            tile = min(tile, args.batch)
+            if tile % 128 or args.batch % tile:
+                fused = False
+            else:
+                fused_opts = {"batch_tile": tile, "interpret": False}
 
         def run(x0s, sps, st):
             return run_closed_loop_lanes(
@@ -490,7 +494,7 @@ def _sweep(args, dp, dtype, dev):
     import copy
 
     rows = []
-    batches = (64, 256, 1024, 4096, 16384)
+    batches = (64, 256, 1024, 4096, 8192, 16384)
     for n in batches:
         # Per-batch args copy: the fused kernel's batch_tile must divide
         # the ACTUAL batch of this row, not the global --batch.
