@@ -102,6 +102,7 @@ def _fold_sum(terms, like):
 def make_fused_iteration(problem, config, batch_tile: int | None = None,
                          interpret: bool = False,
                          emulate: bool | None = None,
+                         vmem_limit_bytes: int | None = None,
                          _stop_after: int = 0):
     """Build the fused GN-iteration body for ``_solve_lanes_impl``'s scan.
 
@@ -823,6 +824,10 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
+            compiler_params=(
+                pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
+                if vmem_limit_bytes else None
+            ),
         )
 
         def call(params_a, QT_a, Q_a, eigs_a, JuT_a, Juc_a,

@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--run", action="store_true",
                     help="also execute the compiled iteration once")
+    ap.add_argument("--vmem-mb", type=int, default=0,
+                    help="pallas CompilerParams vmem_limit_bytes, in MiB")
     ap.add_argument("--stop-after", type=int, default=0,
                     help="early-out after kernel stage N (1=linearize, "
                          "2=condense, 3=kkt, 4=expand, 5=trials)")
@@ -75,6 +77,7 @@ def main():
     it = make_fused_iteration(
         problem, mpc.nls_config, batch_tile=args.tile,
         emulate=False, interpret=False, _stop_after=args.stop_after,
+        vmem_limit_bytes=args.vmem_mb * 1024 * 1024 or None,
     )
     Z0 = L._Z(
         xs=jnp.zeros((sd, problem.N, B), dtype),
