@@ -39,14 +39,18 @@ location depends on the damping schedule's history, so NO implicit
 system — neither the interior KKT, nor Dirichlet-frozen active rows, nor
 the full clamp-fixed-point system [GN stationarity in d; linearized
 feasibility; active pins] implemented below — reproduces d(solve)/dθ
-there (all measured 20–40% off finite differences).
+there (all measured 20–40% off finite differences). ``method="unrolled"``
+differentiates the algorithm itself and is exact there: measured ~1e-8
+relative FD agreement at a clamped stall (tests assert rtol 1e-3,
+``tests/test_diff_saturation.py``).
 
 The ``"ift"`` backward therefore solves the unified clamp-fixed-point
 system: exact at interior convergence (d ≡ 0 collapses it to the plain
 KKT IFT; FD-verified <3e-7), well-posed best-effort at clamps, with
 ``dz_i/dθ = 0`` through every clamped coordinate. For EXACT saturated
 gradients use ``method="unrolled"`` — it differentiates the fixed-trip
-algorithm itself and matches FD to <1e-8 at a measured clamped stall —
+algorithm itself and matches FD at a measured clamped stall (~1e-8
+measured; rtol 1e-3 asserted) —
 and read ``with_diagnostics=True`` to detect the regime at runtime
 (``n_active > 0``, or a MAX_LAMBDA ``termination_state``).
 Differentiation wrt θ = (x_current, dynamics_params, set_point); the warm
@@ -135,7 +139,8 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
       at a damping-stabilized stall).
     - ``"unrolled"``: differentiates the fixed-trip solver itself —
       ALGORITHM-exact everywhere (a.e.), including saturated solves
-      (FD-verified <1e-3 at a clamped stall). Costs ``n_θ`` extra
+      (FD agreement at a clamped stall: ~1e-8 measured, rtol 1e-3
+      asserted by ``tests/test_diff_saturation.py``). Costs ``n_θ`` extra
       forward solves: the backward contracts FORWARD-mode Jacobians
       (``jacfwd`` over x/dynamics_params/set_point) because XLA:CPU
       MISCOMPILES the transposed (reverse-mode) program of the condensed
@@ -233,13 +238,28 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
         # Forward-value recovery of (d, μ) at z*: least squares of
         # [Hc D_a, Gᵀ; G D_a, 0] (d̃, μ) = (-g, -c), d = D_a d̃ — the
         # E3 rows eliminated by searching d in the active span only.
+        # Solved by QR of the ridge-stacked factor [A_ls; √ridge·I]
+        # (min ||A_ls y - b||² + ridge||y||², same minimizer as the
+        # normal equations) — never forming A_lsᵀA_ls, which squares the
+        # condition of a system containing the near-dependent terminal
+        # rows (the Gram-form failure mode documented for the condensed
+        # KKT path; double-pole Schur cond ~1e9 would square to ~1e18,
+        # far past f32).
         Hd = Hc * a_f[None, :]
         Ad = A * a_f[None, :]
         A_ls = jnp.block([[Hd, A.T], [Ad, jnp.zeros((n_c, n_c), dtype)]])
         b_ls = jnp.concatenate([-g0, -c0])
-        N_ls = A_ls.T @ A_ls + multiplier_ridge * jnp.eye(
-            nz + n_c, dtype=dtype)
-        y = _pad_solve(N_ls, A_ls.T @ b_ls)
+        n_y = nz + n_c
+        stacked = jnp.concatenate([
+            A_ls,
+            jnp.sqrt(jnp.asarray(multiplier_ridge, dtype))
+            * jnp.eye(n_y, dtype=dtype),
+        ])
+        Qls, Rls = jnp.linalg.qr(stacked)
+        y = jax.scipy.linalg.solve_triangular(
+            Rls, Qls.T @ jnp.concatenate([b_ls, jnp.zeros((n_y,), dtype)]),
+            lower=False,
+        )
         d = a_f * y[:nz]
         mu = y[nz:]
 
