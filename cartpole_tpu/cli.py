@@ -232,7 +232,31 @@ def _cmd_sweep(args) -> int:
     x0s = shard_scenarios(jnp.asarray(x0s, dtype), mesh)
     sps = shard_scenarios(jnp.full((n,), args.set_point, dtype), mesh)
 
-    run = make_sharded_closed_loop(mpc, mesh, num_steps=args.steps)
+    layout = args.layout
+    fused_opts = None
+    if layout == "auto":
+        # Production default: the fused megakernel path on TPU when the
+        # per-shard batch tiles cleanly; the generic vmap path otherwise
+        # (CPU compiles of the unrolled fused body take minutes).
+        import jax as _jax
+
+        per_shard = n // mesh.devices.size
+        on_tpu = _jax.default_backend() not in ("cpu",)
+        if (on_tpu and mpc.params.kkt_method == "condensed"
+                and mpc.model.dynamics_jac is not None
+                and per_shard % 128 == 0):
+            layout = "lanes-fused"
+        else:
+            layout = "vmap"
+    if layout == "lanes-fused":
+        per_shard = n // mesh.devices.size
+        tile = 512 if args.model == "single" else 128
+        fused_opts = {"batch_tile": min(tile, per_shard)}
+
+    run = make_sharded_closed_loop(
+        mpc, mesh, num_steps=args.steps, layout=layout,
+        fused_opts=fused_opts,
+    )
     t0 = time.perf_counter()
     result, diag = run(x0s, dynamics_params, sps)
     # Sync via host transfer (block_until_ready can return early on
@@ -250,6 +274,7 @@ def _cmd_sweep(args) -> int:
             {
                 "batch": n,
                 "steps": args.steps,
+                "layout": layout,
                 "devices": mesh.devices.size,
                 "wall_s": round(wall, 3),
                 "solves_per_s": round(n * args.steps / wall, 1),
@@ -329,6 +354,15 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap_sw.add_argument("--batch", type=int, default=256)
     ap_sw.add_argument("--steps", type=int, default=100)
     ap_sw.add_argument("--seed", type=int, default=0)
+    ap_sw.add_argument(
+        "--layout", default="auto",
+        choices=("auto", "vmap", "lanes", "lanes-fused"),
+        help="per-shard batching layout: auto picks the fused "
+        "GN-iteration megakernel path (lanes-fused) on TPU when the "
+        "per-shard batch is a multiple of 128 and kkt is condensed, "
+        "else the generic vmap path. lanes/lanes-fused need "
+        "kkt_method=condensed; lanes-fused on CPU compiles for minutes "
+        "(emulation of the unrolled kernel body)")
     ap_sw.set_defaults(fn=_cmd_sweep)
 
     ap_int = sub.add_parser(

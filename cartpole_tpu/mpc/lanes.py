@@ -701,8 +701,9 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
         if not fused_supported(problem, config):
             raise ValueError(
                 "fused=True but this configuration is not covered by the "
-                "fused kernel (needs generated-core dynamics, scalar "
-                "dynamics params, rebase_equalities off)"
+                "fused kernel (needs generated-core dynamics, dynamics "
+                "params scalar or per-instance (B,), rebase_equalities "
+                "off)"
             )
         iteration = make_fused_iteration(problem, config, **fused_opts)
 

@@ -36,8 +36,11 @@ Layout notes (see ``/opt/skills/guides/pallas_guide.md``):
 - the only MXU work is the static ``(K, K)`` spectral-basis rotations and
   the static cost-Jacobian products, done as plain ``jnp.dot`` with
   ``preferred_element_type`` pinned to the compute dtype.
-- scalar dynamics parameters ride SMEM; all statics (eigenbasis, cost
-  Jacobian) are VMEM inputs replicated across the batch grid.
+- scalar dynamics parameters ride SMEM (constant-folded in-kernel);
+  per-instance dynamics parameters (the BASELINE (mass, length)-grid
+  sweep) ride one ``(n_p, Bt)`` VMEM block whose rows broadcast through
+  the dynamics chains. All statics (eigenbasis, cost Jacobian) are VMEM
+  inputs replicated across the batch grid.
 """
 
 from __future__ import annotations
@@ -62,9 +65,13 @@ def fused_supported(problem, config) -> bool:
         return False
     if spec.params.rebase_equalities and len(spec.terminal_eqs):
         return False  # per-iteration equality re-basing not fused (rare path)
-    leaves = jax.tree.leaves(problem.dynamics_params)
-    if any(jnp.ndim(l) != 0 for l in leaves):
-        return False  # per-instance dynamics params: unfused path
+    for leaf in jax.tree.leaves(problem.dynamics_params):
+        nd = jnp.ndim(leaf)
+        if nd == 0:
+            continue
+        if nd == 1 and jnp.shape(leaf)[0] == problem.B:
+            continue  # per-instance params: (n_p, B) VMEM block path
+        return False
     return True
 
 
@@ -163,9 +170,21 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
 
     leaves, treedef = jax.tree.flatten(problem.dynamics_params)
     n_p = len(leaves)
-    params_vec = jnp.stack(
-        [jnp.asarray(l, dtype) for l in leaves]
-    ).reshape(1, n_p)
+    batched_params = any(jnp.ndim(l) != 0 for l in leaves)
+    if batched_params:
+        # Per-instance dynamics params (the BASELINE (mass, length)-grid
+        # sweep shape; reference treats live dynamics-param changes as
+        # first-class, viz/src/application.ts:279-373): every leaf rides
+        # a row of one (n_p, B) VMEM block, broadcast to the batch. The
+        # scalar-SMEM path's in-kernel constant folding is forfeited —
+        # measured cost on v5e is recorded in fused_params_grid.json.
+        params_vec = jnp.stack([
+            jnp.broadcast_to(jnp.asarray(l, dtype), (B,)) for l in leaves
+        ])  # (n_p, B)
+    else:
+        params_vec = jnp.stack(
+            [jnp.asarray(l, dtype) for l in leaves]
+        ).reshape(1, n_p)
 
     jac_core = spec.model.dynamics_jac_core
     dyn_core = spec.model.dynamics_core
@@ -720,7 +739,11 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         # (8, 128) and decouple the block from B.
         outs = body(
             jax.tree.unflatten(
-                treedef, [params_ref[0, i] for i in range(n_p)]
+                treedef,
+                # Batched: per-leaf (Bt,) rows of the VMEM block;
+                # scalar: SMEM scalars (in-kernel constant folding).
+                [params_ref[i, :] for i in range(n_p)] if batched_params
+                else [params_ref[0, i] for i in range(n_p)],
             ),
             [xc_ref[i, :] for i in range(sd)],  # per-coord (Bt,)
             spt_ref[0, :], up_ref[0, :],
@@ -761,6 +784,7 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         )
 
     in_specs = [
+        batched((n_p,)) if batched_params else
         pl.BlockSpec((1, n_p), (lambda *_: (0, 0)), memory_space=pltpu.SMEM),
         rep((K, K)), rep((K, K)), rep((K, 1)),
         rep((K, n_u)), rep((n_u, K)),
@@ -802,7 +826,10 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                 sl = slice(g * Bt, (g + 1) * Bt)
                 tiles.append(body(
                     jax.tree.unflatten(
-                        treedef, [params_a[0, i] for i in range(n_p)]
+                        treedef,
+                        [params_a[i, sl] for i in range(n_p)]
+                        if batched_params
+                        else [params_a[0, i] for i in range(n_p)],
                     ),
                     [xc_a[i, sl] for i in range(sd)],
                     spt_a[sl], up_a[sl],

@@ -138,6 +138,7 @@ def make_sharded_step(
     donate_state: bool = True,
     batched_params: bool = False,
     layout: str = "vmap",
+    fused_opts: Optional[dict] = None,
 ):
     """Build the jitted scenario-sharded batched MPC step.
 
@@ -150,8 +151,13 @@ def make_sharded_step(
     the parameter-grid sweeps of BASELINE.json (scenarios x (mass, length)).
 
     ``layout``: per-shard batching strategy — "vmap" (generic; any
-    kkt_method) or "lanes" (the batch-in-lanes condensed fast path,
-    ``mpc/lanes.py``; requires ``kkt_method="condensed"``).
+    kkt_method), "lanes" (the batch-in-lanes condensed fast path,
+    ``mpc/lanes.py``; requires ``kkt_method="condensed"``), or
+    "lanes-fused" (lanes driven by the fused GN-iteration Pallas
+    megakernel, ``ops/fused.py`` — the production TPU path; each shard
+    runs its own ``pallas_call`` grid over the local batch).
+    ``fused_opts`` (lanes-fused only) forwards kernel options, e.g.
+    ``{"batch_tile": 512}`` — the tile must divide the PER-SHARD batch.
 
     The MPC state is donated by default: warm starts live on-device across
     receding-horizon ticks with zero host round-trips (SURVEY.md §7 hard
@@ -159,10 +165,13 @@ def make_sharded_step(
     """
     p_axis = 0 if batched_params else None
     p_spec = P(axis_name) if batched_params else P()
-    if layout == "lanes":
+    if layout in ("lanes", "lanes-fused"):
         from ..mpc.lanes import step_lanes
 
-        batched = lambda st, xs, dp, sp: step_lanes(mpc, st, xs, dp, sp)
+        fused = layout == "lanes-fused"
+        batched = lambda st, xs, dp, sp: step_lanes(
+            mpc, st, xs, dp, sp, fused=fused, fused_opts=fused_opts
+        )
     elif layout == "vmap":
         batched = jax.vmap(mpc.step, in_axes=(0, 0, p_axis, 0))
     else:
@@ -195,6 +204,7 @@ def make_sharded_closed_loop(
     axis_name: str = SCENARIO_AXIS,
     batched_params: bool = False,
     layout: str = "vmap",
+    fused_opts: Optional[dict] = None,
 ):
     """Build the jitted scenario-sharded closed-loop runner.
 
@@ -203,16 +213,20 @@ def make_sharded_closed_loop(
     loop (MPC solve -> 1 kHz plant -> warm-start carry) compiled into one
     XLA program per shard, with one diagnostics reduction at the end.
     ``batched_params=True`` gives every scenario its own plant parameters
-    (sharded leading axis on each leaf). ``layout``: "vmap" (generic) or
-    "lanes" (batch-in-lanes condensed fast path).
+    (sharded leading axis on each leaf). ``layout``: "vmap" (generic),
+    "lanes" (batch-in-lanes condensed fast path), or "lanes-fused" (lanes
+    driven by the fused GN-iteration Pallas megakernel — the production
+    TPU scale-out path; ``fused_opts`` e.g. ``{"batch_tile": 512}`` must
+    divide the PER-SHARD batch).
     """
     p_axis = 0 if batched_params else None
     p_spec = P(axis_name) if batched_params else P()
-    if layout == "lanes":
+    if layout in ("lanes", "lanes-fused"):
         from ..mpc.lanes import run_closed_loop_lanes
 
+        fused = layout == "lanes-fused"
         batched = lambda x0, dp, sp: run_closed_loop_lanes(
-            mpc, x0, dp, num_steps, sp
+            mpc, x0, dp, num_steps, sp, fused=fused, fused_opts=fused_opts
         )
     elif layout == "vmap":
         batched = jax.vmap(

@@ -22,6 +22,8 @@ Reference capability: the hot loop of
 ``/root/reference/optimization/optimization.cc:110-155``.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -176,6 +178,57 @@ class TestFusedEquivalence:
                 mpc, _state(mpc, 2), _x0_batch(2),
                 dp, jnp.zeros((2,)), fused=True,
             )
+
+    def test_per_instance_dynamics_params(self):
+        """Per-instance (mass, length)-grid dynamics params — the
+        BASELINE config-#5 sweep shape — through the fused body's
+        (n_p, B) VMEM-block path, equivalent to the XLA lanes path."""
+        B = 4
+        mpc = _mpc()
+        base = default_single_params(jnp.float64)
+        grid = np.stack(np.meshgrid([0.08, 0.12], [0.2, 0.3]),
+                        -1).reshape(B, 2)
+        dp = dataclasses.replace(
+            base, m_1=jnp.asarray(grid[:, 0]), l_1=jnp.asarray(grid[:, 1])
+        )
+        x0 = _x0_batch(B, seed=11)
+        sp = jnp.zeros((B,), jnp.float64)
+        st = _state(mpc, B)
+        out_x, _ = jax.jit(
+            lambda s, x: step_lanes(mpc, s, x, dp, sp)
+        )(st, x0)
+        out_f, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"eager_loop": True},
+        )
+        _assert_step_equal(out_f, out_x)
+        # The grid must actually matter: different plants, different u.
+        u = np.asarray(out_f.u)
+        assert np.abs(u[0] - u[-1]).max() > 1e-3
+
+    def test_per_instance_params_tile_split(self):
+        """Batched params with batch_tile < B: each tile must see ITS
+        slice of the (n_p, B) params block."""
+        B = 4
+        mpc = _mpc(max_iterations=4)
+        base = default_single_params(jnp.float64)
+        dp = dataclasses.replace(
+            base,
+            m_1=jnp.asarray([0.08, 0.1, 0.12, 0.14]),
+            l_1=jnp.asarray([0.2, 0.25, 0.3, 0.35]),
+        )
+        x0 = _x0_batch(B, seed=12)
+        sp = jnp.zeros((B,), jnp.float64)
+        st = _state(mpc, B)
+        out_x, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"eager_loop": True},
+        )
+        out_f, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"batch_tile": 2, "eager_loop": True},
+        )
+        _assert_step_equal(out_f, out_x, u_atol=1e-9)
 
     def test_batch_tile_split(self):
         """batch_tile < B exercises the grid dimension (two tiles)."""

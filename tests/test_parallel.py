@@ -203,6 +203,68 @@ class TestBatchedParams:
         )
 
 
+class TestShardedFused:
+    """shard_map composed with the fused GN-iteration kernel path
+    (layout="lanes-fused") — the production TPU scale-out pairing. On CPU
+    the fused body runs through its emulation path (same tile arithmetic,
+    no pallas_call); the config is deliberately tiny because XLA:CPU
+    compiles the unrolled body superlinearly slowly (CLAUDE.md)."""
+
+    def _tiny_mpc(self):
+        return make_mpc(OptimizationParams(
+            window_length=4, state_spacing=2, max_iterations=2,
+            max_line_search_iterations=2, kkt_method="condensed",
+        ))
+
+    def test_sharded_fused_matches_unsharded_lanes(self):
+        """Sharded lanes-fused closed loop == unsharded XLA lanes path,
+        with PER-INSTANCE dynamics params (the BASELINE grid-sweep shape
+        through the flagship kernel path)."""
+        import dataclasses
+
+        from cartpole_tpu.mpc.lanes import run_closed_loop_lanes
+
+        mpc = self._tiny_mpc()
+        mesh = make_scenario_mesh()
+        n = 8
+        base = default_single_params(jnp.float64)
+        grid = dataclasses.replace(
+            jax.tree.map(lambda v: jnp.broadcast_to(v, (n,)), base),
+            m_1=jnp.asarray(np.linspace(0.08, 0.15, n)),
+            l_1=jnp.asarray(np.linspace(0.2, 0.35, n)),
+        )
+        rng = np.random.RandomState(5)
+        x0s = np.tile(DOWN, (n, 1))
+        x0s[:, 1] += rng.uniform(-0.2, 0.2, n)
+        x0s = jnp.asarray(x0s)
+        sps = jnp.zeros((n,))
+
+        run = make_sharded_closed_loop(
+            mpc, mesh, num_steps=2, batched_params=True,
+            layout="lanes-fused",
+        )
+        result, diag = jax.block_until_ready(run(
+            shard_scenarios(x0s, mesh),
+            shard_scenarios(grid, mesh),
+            shard_scenarios(sps, mesh),
+        ))
+        assert int(diag.n_instances) == n
+
+        ref = run_closed_loop_lanes(mpc, x0s, grid, 2, sps)
+        np.testing.assert_allclose(
+            np.asarray(result.controls), np.asarray(ref.controls),
+            atol=1e-8,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(result.termination_states),
+            np.asarray(ref.termination_states),
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.final_state), np.asarray(ref.final_state),
+            atol=1e-8,
+        )
+
+
 class TestDiagnostics:
     def test_local_reduction_counts(self):
         mpc = make_mpc(OptimizationParams(max_iterations=4))
