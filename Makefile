@@ -7,10 +7,10 @@
 
 PY ?= python
 
-.PHONY: test test-slow lint bench bench-sweep codegen native clean help
+.PHONY: test test-slow lint bench bench-sweep tpu-gate codegen native clean help
 
 help:
-	@echo "targets: test test-slow lint bench bench-sweep codegen native clean"
+	@echo "targets: test test-slow lint bench bench-sweep tpu-gate codegen native clean"
 
 test:            ## full CPU/f64 suite on the 8-virtual-device mesh (~23 min)
 	$(PY) -m pytest tests/ -q
@@ -28,6 +28,9 @@ bench:           ## headline benchmark on the attached device (~6 min cold)
 
 bench-sweep:     ## batch/latency matrix -> bench_sweep.json
 	$(PY) bench.py --sweep
+
+tpu-gate:        ## on-device Pallas regression gate -> tpu_gate.json (~15 min cold)
+	$(PY) scripts/probe_fused_tpu.py --gate
 
 codegen:         ## regenerate the machine-generated dynamics modules
 	$(PY) -m cartpole_tpu.symbolic.generate --version single --jacobians \

@@ -45,6 +45,7 @@ from .mpc import (
     make_mpc,
     run_closed_loop,
     run_closed_loop_lanes,
+    run_scheduled_closed_loop,
     simulator_step,
     step_lanes,
 )
