@@ -695,6 +695,7 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
             trace,
         )
 
+    single_launch = False
     if fused:
         from ..ops.fused import fused_supported, make_fused_iteration
 
@@ -705,7 +706,10 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
                 "params scalar or per-instance (B,), rebase_equalities "
                 "off)"
             )
-        iteration = make_fused_iteration(problem, config, **fused_opts)
+        single_launch = bool(fused_opts.get("single_launch", False))
+        fused_fn = make_fused_iteration(problem, config, **fused_opts)
+        if not single_launch:
+            iteration = fused_fn
 
     init = (
         Z0,
@@ -716,7 +720,12 @@ def _solve_lanes_impl(problem: _LanesProblem, Z0: _Z, config: NLSConfig,
         jnp.full((B,), NLSTerminationState.MAX_ITERATIONS, jnp.int32),
         jnp.full((B,), jnp.inf, dtype),
     )
-    if eager_loop:
+    if single_launch:
+        # ops/fused.py single-launch mode: the whole fixed-trip solve is
+        # ONE pallas_call (iteration = minor grid dim, carry resident in
+        # VMEM); traces come back already stacked (n_iter, B).
+        (Z, lam, _, _, _, term, first_order), traces = fused_fn(init)
+    elif eager_loop:
         carry, rows = init, []
         for _ in range(config.max_iterations):
             carry, tr = iteration(carry, None)

@@ -110,12 +110,27 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                          interpret: bool = False,
                          emulate: bool | None = None,
                          vmem_limit_bytes: int | None = None,
+                         single_launch: bool = False,
                          _stop_after: int = 0):
     """Build the fused GN-iteration body for ``_solve_lanes_impl``'s scan.
 
     Returns ``iteration(carry, _) -> (carry, trace)`` with the exact carry
     and trace pytrees of the XLA body in ``mpc.lanes``. ``problem`` is a
     ``mpc.lanes._LanesProblem``; statics are captured at trace time.
+
+    ``single_launch=True`` returns ``solve(carry0) -> (carryN, traces)``
+    instead: the ENTIRE ``config.max_iterations``-trip damped-GN solve as
+    ONE ``pallas_call`` with grid ``(B/Bt, n_iter)`` — the iteration axis
+    rides the minor grid dimension with every carry block's index map
+    ignoring it, so the carry stays RESIDENT IN VMEM across all
+    iterations (initialized from the inputs at ``it == 0``, flushed to
+    HBM once per batch tile) and per-tick kernel launches drop from
+    ``n_iter`` to 1. The kernel BODY is still compiled once (the grid
+    handles iteration — no 8x unroll, same Mosaic compile cost). Traces
+    stream out through ``(n_iter, 1, B)`` outputs whose leading block
+    index is the iteration. Measured v5e (fused_floor.json, 2026-08-20):
+    the 8-launch scan's inter-iteration launch+carry overhead this
+    removes is ~0.15 ms/tick at batch 4096.
 
     ``emulate`` (default: True on the CPU backend) runs the SAME tile
     ``body`` through the same manual grid/BlockSpec slicing as plain jnp
@@ -726,6 +741,8 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         )
 
     # -------------------------------------------------------------- kernel
+    n_iter = int(config.max_iterations)
+
     def kernel(params_ref, QT_ref, Q_ref, eigs_ref, JuT_ref, Juc_ref,
                xc_ref, spt_ref, up_ref,
                xs_ref, u_ref, lam_ref, mu_ref, merit_ref, done_ref,
@@ -737,6 +754,30 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         # rejects against any other block size ("XLA layout does not
         # match Mosaic layout", measured 2026-08-20); 2-D rows tile as
         # (8, 128) and decouple the block from B.
+        if single_launch:
+            # Grid (B/Bt, n_iter): the carry-block index maps ignore the
+            # minor (iteration) dim, so each carry block is initialized
+            # from the inputs at it == 0, stays resident in VMEM for all
+            # n_iter steps, and is flushed to HBM once per batch tile.
+            it = pl.program_id(1)
+
+            @pl.when(it == 0)
+            def _init():
+                xs_o[...] = xs_ref[...]
+                u_o[...] = u_ref[...]
+                for dst, src in (
+                    (lam_o, lam_ref), (mu_o, mu_ref), (merit_o, merit_ref),
+                    (done_o, done_ref), (term_o, term_ref), (fo_o, fo_ref),
+                ):
+                    dst[...] = src[...]
+
+            xs_in, u_in = xs_o, u_o
+            lam_in, mu_in, merit_in = lam_o, mu_o, merit_o
+            done_in, term_in, fo_in = done_o, term_o, fo_o
+        else:
+            xs_in, u_in = xs_ref, u_ref
+            lam_in, mu_in, merit_in = lam_ref, mu_ref, merit_ref
+            done_in, term_in, fo_in = done_ref, term_ref, fo_ref
         outs = body(
             jax.tree.unflatten(
                 treedef,
@@ -747,20 +788,28 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             ),
             [xc_ref[i, :] for i in range(sd)],  # per-coord (Bt,)
             spt_ref[0, :], up_ref[0, :],
-            [xs_ref[i, :, :] for i in range(sd)],  # per-coord (N, Bt)
-            u_ref[...], lam_ref[0, :], mu_ref[0, :], merit_ref[0, :],
-            done_ref[0, :] != 0, term_ref[0, :], fo_ref[0, :],
+            [xs_in[i, :, :] for i in range(sd)],  # per-coord (N, Bt)
+            u_in[...], lam_in[0, :], mu_in[0, :], merit_in[0, :],
+            done_in[0, :] != 0, term_in[0, :], fo_in[0, :],
             QT_ref[...], Q_ref[...], eigs_ref[...],
             JuT_ref[...], Juc_ref[...],
         )
         xs_o[...] = outs[0]
         u_o[...] = outs[1]
-        row_refs = (lam_o, mu_o, merit_o, done_o, term_o,
-                    fo_o, tc_o, tv_o, tl_o, ta_o, tf_o, tap_o)
-        for ref, val in zip(row_refs, outs[2:]):
+        for ref, val in zip(
+            (lam_o, mu_o, merit_o, done_o, term_o, fo_o), outs[2:8]
+        ):
             ref[0, :] = val
+        for ref, val in zip((tc_o, tv_o, tl_o, ta_o, tf_o, tap_o), outs[8:]):
+            if single_launch:
+                ref[0, 0, :] = val  # iteration rides the block index
+            else:
+                ref[0, :] = val
 
     # ------------------------------------------------------ pallas plumbing
+    # All index maps take (g, [it]) — g is the batch-tile id; the
+    # iteration id of the single-launch grid is ignored by everything but
+    # the trace outputs.
     def rep(shape):
         nz = len(shape)
         return pl.BlockSpec(
@@ -771,8 +820,8 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         shape = shape_prefix + (Bt,)
         nz = len(shape_prefix)
 
-        def idx(i):
-            return (0,) * nz + (i,)
+        def idx(g, *_):
+            return (0,) * nz + (g,)
 
         return pl.BlockSpec(shape, idx, memory_space=pltpu.VMEM)
 
@@ -780,7 +829,14 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
         # (B,)-batched scalars as (1, B) arrays with (1, Bt) blocks —
         # see the layout note in ``kernel``.
         return pl.BlockSpec(
-            (1, Bt), (lambda i: (0, i)), memory_space=pltpu.VMEM
+            (1, Bt), (lambda g, *_: (0, g)), memory_space=pltpu.VMEM
+        )
+
+    def trace_spec():
+        # (n_iter, 1, B) outputs; the iteration grid id selects the row.
+        return pl.BlockSpec(
+            (1, 1, Bt), (lambda g, it: (it, 0, g)),
+            memory_space=pltpu.VMEM,
         )
 
     in_specs = [
@@ -798,46 +854,79 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
     def rshape(dt=f):
         return jax.ShapeDtypeStruct((1, B), dt)
 
-    out_shape = [
+    carry_shape = [
         jax.ShapeDtypeStruct((sd, N, B), f),
         jax.ShapeDtypeStruct((K, B), f),
         rshape(), rshape(), rshape(),
         rshape(jnp.int32), rshape(jnp.int32), rshape(),
-        rshape(), rshape(), rshape(), rshape(), rshape(),
-        rshape(jnp.int32),
     ]
-    out_specs = [
+    carry_specs = [
         batched((sd, N)), batched((K,)),
-        row(), row(), row(),
-        row(), row(), row(),
-        row(), row(), row(), row(), row(),
-        row(),
+        row(), row(), row(), row(), row(), row(),
     ]
+    if single_launch:
+        grid = (B // Bt, n_iter)
+        trace_dts = (f, f, f, f, f, jnp.int32)
+        out_shape = carry_shape + [
+            jax.ShapeDtypeStruct((n_iter, 1, B), dt) for dt in trace_dts
+        ]
+        out_specs = carry_specs + [trace_spec()] * 6
+    else:
+        out_shape = carry_shape + [
+            rshape(), rshape(), rshape(), rshape(), rshape(),
+            rshape(jnp.int32),
+        ]
+        out_specs = carry_specs + [row()] * 6
     if emulate:
         # Manual application of the SAME grid/BlockSpec tiling (batched
         # index maps slice the trailing batch axis in Bt blocks;
         # replicated statics pass through whole), calling the same tile
-        # ``body`` — plain jnp, no pallas_call.
+        # ``body`` — plain jnp, no pallas_call. In single-launch mode the
+        # tile carry loops through n_iter body applications before the
+        # next tile, mirroring the (B/Bt, n_iter) grid order.
         def call(params_a, QT_a, Q_a, eigs_a, JuT_a, Juc_a,
                  xc_a, spt_a, up_a, xs_a, u_a, lam_a, mu_a,
                  merit_a, done_a, term_a, fo_a):
             tiles = []
             for g in range(B // Bt):
                 sl = slice(g * Bt, (g + 1) * Bt)
-                tiles.append(body(
-                    jax.tree.unflatten(
-                        treedef,
-                        [params_a[i, sl] for i in range(n_p)]
-                        if batched_params
-                        else [params_a[0, i] for i in range(n_p)],
-                    ),
+                params_t = jax.tree.unflatten(
+                    treedef,
+                    [params_a[i, sl] for i in range(n_p)]
+                    if batched_params
+                    else [params_a[0, i] for i in range(n_p)],
+                )
+                args_t = (
                     [xc_a[i, sl] for i in range(sd)],
                     spt_a[sl], up_a[sl],
+                )
+                statics_t = (QT_a, Q_a, eigs_a, JuT_a, Juc_a)
+                carry_t = (
                     [xs_a[i, :, sl] for i in range(sd)],
                     u_a[:, sl], lam_a[sl], mu_a[sl], merit_a[sl],
                     done_a[sl] != 0, term_a[sl], fo_a[sl],
-                    QT_a, Q_a, eigs_a, JuT_a, Juc_a,
-                ))
+                )
+                if single_launch:
+                    rows = []
+                    for _ in range(n_iter):
+                        outs = body(params_t, *args_t,
+                                    *carry_t, *statics_t)
+                        carry_t = (
+                            [outs[0][i] for i in range(sd)], outs[1],
+                            outs[2], outs[3], outs[4], outs[5] != 0,
+                            outs[6], outs[7],
+                        )
+                        rows.append(outs[8:])
+                    traces_t = tuple(
+                        jnp.stack([r[k] for r in rows])
+                        for k in range(6)
+                    )  # each (n_iter, Bt)
+                    tiles.append(
+                        (outs[0], outs[1]) + tuple(outs[2:8]) + traces_t
+                    )
+                else:
+                    tiles.append(body(params_t, *args_t,
+                                      *carry_t, *statics_t))
             return tuple(
                 jnp.concatenate([t[k] for t in tiles], axis=-1)
                 if len(tiles) > 1 else tiles[0][k]
@@ -851,9 +940,11 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
             out_specs=out_specs,
             out_shape=out_shape,
             interpret=interpret,
-            compiler_params=(
-                pltpu.CompilerParams(vmem_limit_bytes=vmem_limit_bytes)
-                if vmem_limit_bytes else None
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_bytes,
+                dimension_semantics=(
+                    ("arbitrary", "arbitrary") if single_launch else None
+                ),
             ),
         )
 
@@ -866,21 +957,42 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
                 lam_a[None], mu_a[None], merit_a[None],
                 done_a[None], term_a[None], fo_a[None],
             )
-            return outs[:2] + tuple(o[0] for o in outs[2:])
+            carry = outs[:2] + tuple(o[0] for o in outs[2:8])
+            if single_launch:
+                traces = tuple(o[:, 0, :] for o in outs[8:])
+            else:
+                traces = tuple(o[0] for o in outs[8:])
+            return carry + traces
 
     xc_arr = problem.x_current
     spt_arr = problem.set_point
     up_arr = problem.u_prev
 
-    def iteration(carry, _):
-        Z, lam, mu_pen, merit_prev, done, term, fo_carry = carry
-        (xs2, u2, lam2, mu2, merit2, done2, term2, fo2,
-         tcost, tviol, tlam, talpha, tfirst, tap) = call(
+    def run_call(Z, lam, mu_pen, merit_prev, done, term, fo_carry):
+        return call(
             params_vec, QTm, Qm, eigs2, JuT, Juc,
             xc_arr, spt_arr, up_arr,
             Z.xs, Z.u, lam, mu_pen, merit_prev,
             done.astype(jnp.int32), term, fo_carry,
         )
+
+    if single_launch:
+        def solve(carry0):
+            """(carry0) -> (carryN, traces): the whole fixed-trip solve
+            in one launch; trace arrays are (n_iter, B), matching the
+            stacked outputs of the scan over ``iteration``."""
+            (xs2, u2, lam2, mu2, merit2, done2, term2, fo2,
+             tcost, tviol, tlam, talpha, tfirst, tap) = run_call(*carry0)
+            carry = (
+                _Z(xs=xs2, u=u2), lam2, mu2, merit2, done2 != 0, term2, fo2
+            )
+            return carry, (tcost, tviol, tlam, talpha, tfirst, tap != 0)
+
+        return solve
+
+    def iteration(carry, _):
+        (xs2, u2, lam2, mu2, merit2, done2, term2, fo2,
+         tcost, tviol, tlam, talpha, tfirst, tap) = run_call(*carry)
         carry2 = (
             _Z(xs=xs2, u=u2), lam2, mu2, merit2, done2 != 0, term2, fo2
         )

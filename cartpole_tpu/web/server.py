@@ -285,6 +285,56 @@ class WebApp:
             self._httpd = None
 
 
+def _reject_unknown(body: dict, allowed, path: str) -> None:
+    """Schema guard for route bodies (the typed boundary the reference
+    gets from embind, ``wasm.cc:30-43``): unknown keys are a structured
+    400, not a silent ignore."""
+    unknown = sorted(set(body) - set(allowed))
+    if unknown:
+        raise ValueError(
+            f"{path}: unknown fields {unknown}; allowed: {sorted(allowed)}"
+        )
+
+
+def _field(path: str, body: dict, name: str, kind, required: bool = True,
+           default=None):
+    """Typed field extraction with descriptive 400 messages (a malformed
+    /poke used to surface as the raw KeyError repr ``"'mass_index'"``)."""
+    if name not in body or body[name] is None:
+        if required:
+            raise ValueError(f"{path}: missing required field {name!r}")
+        return default
+    v = body[name]
+    if kind is bool:
+        if not isinstance(v, bool):
+            raise ValueError(
+                f"{path}: field {name!r} must be a boolean, got "
+                f"{type(v).__name__}: {v!r}"
+            )
+        return v
+    # int / float: JSON numbers only (bool is an int subclass — exclude).
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(
+            f"{path}: field {name!r} must be a number, got "
+            f"{type(v).__name__}: {v!r}"
+        )
+    if kind is int and int(v) != v:
+        raise ValueError(
+            f"{path}: field {name!r} must be an integer, got {v!r}"
+        )
+    return kind(v)
+
+
+def _numeric_values(body: dict, path: str) -> None:
+    """All values of a params-override body must be JSON numbers."""
+    for k, v in body.items():
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(
+                f"{path}: field {k!r} must be a number, got "
+                f"{type(v).__name__}: {v!r}"
+            )
+
+
 def _make_handler(app: WebApp):
     from .page import PAGE_HTML
 
@@ -334,25 +384,50 @@ def _make_handler(app: WebApp):
             path = self.path.split("?", 1)[0]
             n = int(self.headers.get("Content-Length") or 0)
             try:
-                body = json.loads(self.rfile.read(n) or b"{}")
+                raw = self.rfile.read(n) or b"{}"
+                try:
+                    body = json.loads(raw)
+                except json.JSONDecodeError as e:
+                    raise ValueError(f"request body is not valid JSON: {e}")
                 if not isinstance(body, dict):
                     raise ValueError("request body must be a JSON object")
                 if path == "/poke":
-                    app.poke(body["mass_index"], body["incident_angle"])
+                    _reject_unknown(
+                        body, ("mass_index", "incident_angle"), path
+                    )
+                    app.poke(
+                        _field(path, body, "mass_index", int),
+                        _field(path, body, "incident_angle", float),
+                    )
                 elif path == "/dynamics":
+                    _numeric_values(body, path)
                     app.set_dynamics(**body)
                 elif path == "/optimization":
                     app.set_optimization(**body)
                 elif path == "/control":
+                    _reject_unknown(
+                        body, ("enabled", "sim_rate", "set_point"), path
+                    )
                     app.set_control(
-                        enabled=body.get("enabled"),
-                        sim_rate=body.get("sim_rate"),
-                        set_point=body.get("set_point"),
+                        enabled=_field(path, body, "enabled", bool,
+                                       required=False),
+                        sim_rate=_field(path, body, "sim_rate", float,
+                                        required=False),
+                        set_point=_field(path, body, "set_point", float,
+                                         required=False),
                     )
                 elif path == "/reset":
+                    _reject_unknown(body, (), path)
                     app.reset()
                 elif path == "/tick":
-                    app.step_ticks(body.get("n", 1))
+                    _reject_unknown(body, ("n",), path)
+                    ticks = _field(path, body, "n", int, required=False,
+                                   default=1)
+                    if ticks < 1:
+                        raise ValueError(
+                            f"{path}: field 'n' must be >= 1, got {ticks}"
+                        )
+                    app.step_ticks(ticks)
                 else:
                     self._json(404, {"error": f"unknown path {path}"})
                     return

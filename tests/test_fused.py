@@ -230,6 +230,45 @@ class TestFusedEquivalence:
         )
         _assert_step_equal(out_f, out_x, u_atol=1e-9)
 
+    def test_single_launch_matches_scan(self):
+        """single_launch=True (whole solve in one kernel: iteration as
+        the minor grid dim, VMEM-resident carry) must reproduce the
+        per-iteration launch path exactly, traces included."""
+        B = 4
+        mpc = _mpc()
+        dp = default_single_params(jnp.float64)
+        x0 = _x0_batch(B, seed=21)
+        sp = jnp.zeros((B,), jnp.float64)
+        st = _state(mpc, B)
+        out_ref, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"eager_loop": True},
+        )
+        out_sl, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"single_launch": True},
+        )
+        _assert_step_equal(out_sl, out_ref, u_atol=1e-12)
+
+    def test_single_launch_tile_split(self):
+        """Two batch tiles in single-launch mode: each tile's carry must
+        complete all iterations independently (grid order (g, it))."""
+        B = 4
+        mpc = _mpc(max_iterations=4)
+        dp = default_single_params(jnp.float64)
+        x0 = _x0_batch(B, seed=22)
+        sp = jnp.zeros((B,), jnp.float64)
+        st = _state(mpc, B)
+        out_ref, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"single_launch": True},
+        )
+        out_sl, _ = step_lanes(
+            mpc, st, x0, dp, sp, fused=True,
+            fused_opts={"single_launch": True, "batch_tile": 2},
+        )
+        _assert_step_equal(out_sl, out_ref, u_atol=1e-12)
+
     def test_batch_tile_split(self):
         """batch_tile < B exercises the grid dimension (two tiles)."""
         B = 4

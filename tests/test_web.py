@@ -232,6 +232,64 @@ class TestHTTP:
         status, err = _post(base, "/control", [1, 2, 3])
         assert status == 400 and "JSON object" in err["error"]
 
+    def test_malformed_bodies_get_structured_400s(self, served):
+        """Route bodies are schema-checked (the typed boundary the
+        reference's embind gives it, wasm.cc:30-43): missing/typo'd/
+        mistyped fields come back as descriptive 400s, not raw KeyError
+        reprs like "'mass_index'"."""
+        app, base = served
+        # /poke: missing required field — names the field and the route.
+        status, err = _post(base, "/poke", {"incident_angle": 0.0})
+        assert status == 400
+        assert "missing required field 'mass_index'" in err["error"]
+        assert err["error"] != "'mass_index'"
+        # /poke: wrong type.
+        status, err = _post(
+            base, "/poke", {"mass_index": "zero", "incident_angle": 0.0}
+        )
+        assert status == 400 and "must be a number" in err["error"]
+        # /poke: unknown extra field.
+        status, err = _post(
+            base, "/poke",
+            {"mass_index": 0, "incident_angle": 0.0, "massIndex": 1},
+        )
+        assert status == 400 and "unknown fields" in err["error"]
+        # /dynamics: non-numeric value.
+        status, err = _post(base, "/dynamics", {"m_1": "heavy"})
+        assert status == 400 and "must be a number" in err["error"]
+        # /optimization: unknown field (already covered) + bad value type.
+        status, err = _post(base, "/optimization", {"window_length": -3})
+        assert status == 400
+        # /control: boolean field with non-boolean value.
+        status, err = _post(base, "/control", {"enabled": "yes"})
+        assert status == 400 and "must be a boolean" in err["error"]
+        # /control: unknown field.
+        status, err = _post(base, "/control", {"sim_rat": 0.5})
+        assert status == 400 and "unknown fields" in err["error"]
+        # /tick: non-integer and out-of-range n.
+        status, err = _post(base, "/tick", {"n": 1.5})
+        assert status == 400 and "integer" in err["error"]
+        status, err = _post(base, "/tick", {"n": 0})
+        assert status == 400 and ">= 1" in err["error"]
+        # /reset: any field is unknown.
+        status, err = _post(base, "/reset", {"hard": True})
+        assert status == 400 and "unknown fields" in err["error"]
+        # Invalid JSON body.
+        import urllib.request as _ur
+
+        req = _ur.Request(
+            base + "/poke", data=b"{not json", method="POST"
+        )
+        try:
+            with _ur.urlopen(req, timeout=30) as r:
+                status = r.status
+        except urllib.error.HTTPError as e:
+            status, err = e.code, json.loads(e.read())
+        assert status == 400 and "not valid JSON" in err["error"]
+        # The loop survives all of the above.
+        status, _ = _post(base, "/tick", {"n": 1})
+        assert status == 200
+
     def test_log_and_traces_endpoints(self, served):
         app, base = served
         _post(base, "/tick", {"n": 1})
