@@ -237,7 +237,47 @@ def _cost_metrics(run, example_args, ticks, best_s, dev, run_desc):
     model / kkt / layout / dtype) so the phase-floor comparison is only
     emitted when the committed floor artifact was measured at the SAME
     point — a v5e single-model batch-4096 floor says nothing about a CPU
-    smoke run or a double-pole sweep."""
+    smoke run or a double-pole sweep.
+
+    For the fused layout, XLA cost analysis CANNOT see inside the
+    ``pallas_call`` custom call, so its totals describe only the thin
+    XLA shell — reporting them as program cost would be misleading
+    (round-4 verdict). The fused path instead emits the measured floor
+    model from ``fused_floor.json`` when that artifact was taken at this
+    operating point: per-tick = per-call dispatch/ticks + n_iter x
+    in-kernel iteration + non-solver glue, with the kernel measured
+    VPU-compute-bound (HBM floor ~1% of the tick)."""
+    if "fused" in str(run_desc.get("layout", "")):
+        out = {
+            "cost_analysis": (
+                "wrapper-only: XLA cost analysis cannot see inside "
+                "pallas_call; see floor_model"
+            ),
+        }
+        floor_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "fused_floor.json")
+        if os.path.exists(floor_path):
+            with open(floor_path) as f:
+                floor = json.load(f)
+            acc = floor.get("accounting", {})
+            if (floor.get("device") == getattr(dev, "device_kind", "")
+                    and floor.get("batch") == run_desc.get("batch")
+                    and run_desc.get("model") == "single" and acc):
+                tick_ms = best_s / ticks * 1e3
+                model_ms = (28.0 / ticks
+                            + 8 * acc["t_iter_marginal_ms"]
+                            + (acc["t_rest_ms"] - 28.0 / floor["ticks"]))
+                out["floor_model"] = {
+                    "t_iter_in_kernel_ms": acc["t_iter_marginal_ms"],
+                    "dispatch_ms_per_call": 28.0,
+                    "model_ms_per_tick": round(model_ms, 3),
+                    "measured_ms_per_tick": round(tick_ms, 3),
+                    "model_residual": round(
+                        abs(model_ms - tick_ms) / tick_ms, 4),
+                    "bound": "vpu-compute (hbm floor ~1% of tick; "
+                             "launch/carry ~0.1%, fused_floor.json)",
+                }
+        return out
     try:
         comp = run.lower(*example_args).compile()
         ca = comp.cost_analysis()
@@ -289,11 +329,14 @@ def _upright_fraction(xf, angle_indices=(1,)):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4096)
-    ap.add_argument("--ticks", type=int, default=50,
+    ap.add_argument("--ticks", type=int, default=100,
                     help="receding-horizon steps per compiled program. "
-                    "Longer programs amortize the ~30-60 ms tunneled "
-                    "dispatch (20->50 ticks measured +11% solves/s on "
-                    "v5e; ~flat past 80) but very long scans (~200) "
+                    "Longer programs amortize the ~28 ms per-call "
+                    "tunneled dispatch (measured 2026-08-20: the fused "
+                    "path gains +7.5% going 50->100 ticks and +9.6% at "
+                    "120; a trivial 50-trip scan and a 400-trip one "
+                    "both cost ~28 ms total, so the overhead is "
+                    "per-call, not per-trip) but very long scans (~200) "
                     "crash some tunneled TPU runtimes")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--f64", action="store_true",
