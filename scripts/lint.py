@@ -178,10 +178,29 @@ def main(argv):
         for lineno, msg in checker(f):
             print(f"{f}:{lineno}: {msg}")
             n += 1
+    # In-page JavaScript: full-lexer structural gate (scripts/js_check.py;
+    # the strongest syntax check available in a node-less image).
+    page = pathlib.Path("cartpole_tpu/web/page.py")
+    if page.exists():
+        import re as _re
+        import runpy
+
+        ns = runpy.run_path(str(page))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "js_check", pathlib.Path(__file__).parent / "js_check.py")
+        jsmod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(jsmod)
+        for k, block in enumerate(_re.findall(
+                r"<script>(.*?)</script>", ns["PAGE_HTML"], _re.DOTALL)):
+            for msg in jsmod.lex_check(block, f"page.py<script#{k}>"):
+                print(msg)
+                n += 1
     if n:
         print(f"\n{n} problem(s)")
         return 1
-    print(f"lint OK ({len(files)} files)")
+    print(f"lint OK ({len(files)} files + page js)")
     return 0
 
 

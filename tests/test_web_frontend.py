@@ -114,6 +114,59 @@ class TestScriptLexesCleanly:
         assert "&mdash;" not in script and "&theta;" not in script
 
 
+class TestJsLexCheck:
+    """The round-5 full-lexer gate (``scripts/js_check.py``): the
+    strongest syntax check writable in an image with no JS engine or
+    parser of any kind. Mutation-tested so the gate itself is known to
+    catch what it claims to catch."""
+
+    @pytest.fixture(scope="class")
+    def lex_check(self):
+        import importlib.util
+        from pathlib import Path
+
+        path = (Path(__file__).resolve().parent.parent / "scripts"
+                / "js_check.py")
+        spec = importlib.util.spec_from_file_location("js_check", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.lex_check
+
+    def test_page_script_lexes_clean(self, script, lex_check):
+        assert lex_check(script) == []
+
+    def test_catches_dropped_brace(self, script, lex_check):
+        # Drop the LAST '}' (the first one sits inside a comment, where
+        # removing it is — correctly — harmless).
+        i = script.rindex("}")
+        mutated = script[:i] + script[i + 1:]
+        assert lex_check(mutated), "dropped '}' must be flagged"
+
+    def test_catches_extra_brace(self, script, lex_check):
+        assert lex_check(script + "\n}")
+
+    def test_catches_unterminated_string(self, lex_check):
+        assert lex_check("const a = 'oops;\nlet b = 1;")
+
+    def test_catches_unterminated_template(self, lex_check):
+        assert lex_check("const a = `x ${1 + 2;")
+
+    def test_catches_mismatched_kind(self, lex_check):
+        assert lex_check("f(a[0); g();")
+
+    def test_catches_unterminated_block_comment(self, lex_check):
+        assert lex_check("/* never closed\nlet a = 1;")
+
+    def test_accepts_tricky_valid_js(self, lex_check):
+        ok = (
+            "const re = /[}{'\"]+/g; // regex with brackets\n"
+            "let t = `a ${f({x: '}'})} b ${`nested ${1}`}`;\n"
+            "let d = a / b / c; /* division, not regex */\n"
+            "if (x) { y = z ? '(' : ')'; }\n"
+        )
+        assert lex_check(ok) == []
+
+
 class TestIdsResolve:
     """Every DOM id the JS touches exists in the HTML, and every interactive
     id in the HTML is touched by the JS (matches the manual cross-reference
