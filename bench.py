@@ -63,8 +63,12 @@ DOUBLE_SOFT_OPT_KWARGS = dict(
 #: weights -> 80/45/18) and the same weight applied FOREVER is worse
 #: than baseline (133: the controller needs its agility back after the
 #: transient) — this is a real prevention mechanism, not chaos. Applied
-#: by _double_health to its first chunk only.
+#: by _double_health via run_scheduled_closed_loop for exactly
+#: DOUBLE_TRANSIENT_TICKS ticks: the dose is part of the measurement
+#: (100-tick application measured 0.9817 vs 0.9956 at 50 — overdosing
+#: re-enters the "applied forever is worse" regime).
 DOUBLE_TRANSIENT_OPT_KWARGS = dict(u_derivative_cost_weight=0.8)
+DOUBLE_TRANSIENT_TICKS = 50
 
 # Persistent compilation cache: the tunneled-TPU AOT compile of the
 # closed-loop program costs minutes; cached runs skip it entirely.
@@ -522,10 +526,11 @@ def _double_health(args, dtype, dp_model="double"):
             fused = False
         else:
             fused_opts = {"batch_tile": tile, "interpret": False}
+    t_tr = DOUBLE_TRANSIENT_TICKS
     res_s = run_scheduled_closed_loop(
         mpc, x0s, dp,
-        [(ticks, DOUBLE_TRANSIENT_OPT_KWARGS),
-         (max(dargs.upright_ticks - ticks, 1), None)],
+        [(t_tr, DOUBLE_TRANSIENT_OPT_KWARGS),
+         (max(dargs.upright_ticks - t_tr, 1), None)],
         sps, layout="lanes", fused=fused, fused_opts=fused_opts,
         max_ticks_per_program=ticks,
     )
@@ -541,7 +546,7 @@ def _double_health(args, dtype, dp_model="double"):
         "double_transient": (
             f"run_scheduled_closed_loop: u_derivative_cost_weight="
             f"{DOUBLE_TRANSIENT_OPT_KWARGS['u_derivative_cost_weight']} "
-            f"for the first {ticks} ticks (knockdown prevention, "
+            f"for the first {t_tr} ticks (knockdown prevention, "
             "transient_shaping.json)"
         ),
     }
