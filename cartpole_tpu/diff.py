@@ -199,6 +199,15 @@ def make_differentiable_solve(mpc, bound_tol: float = 1e-6,
     n_def = n_seg * sd
 
     def bwd(res, w):
+        # TPU f32 matmuls default to bf16 passes (CLAUDE.md); the IFT
+        # assembly (Hessians, the n x n adjoint solve) needs true f32 the
+        # same way the solver's normal equations do — measured on-chip
+        # 2026-08-20: without this scope the f32 ift gradient is O(1)
+        # wrong (cos -0.56 vs FD) while f64/CPU is exact.
+        with jax.default_matmul_precision("float32"):
+            return _bwd_impl(res, w)
+
+    def _bwd_impl(res, w):
         z, x, dp, sp, state = res
         wz = w[0]  # the diag cotangent (w[1]) is integer/bool: no flow
         dtype = z.dtype

@@ -55,7 +55,12 @@ def main():
         max_iterations=12, state_spacing=5, kkt_method="condensed",
     ))
     dp = default_single_params(dtype)
-    x0 = jnp.asarray([0.15, -math.pi / 2 + 0.2, 0.1, -0.05], dtype)
+    # Interior operating point (perturbed-upright disturbance rejection):
+    # a near-hang swing-up start saturates the controls, where "ift" is
+    # documented best-effort-only — the on-chip interior-exactness claim
+    # is what this probe checks. Saturation is recorded from the runtime
+    # diagnostics below.
+    x0 = jnp.asarray([0.15, math.pi / 2 - 0.15, 0.1, -0.2], dtype)
     state = mpc.init_state(dtype)
     u_start = mpc.spec.u_start
 
@@ -72,29 +77,73 @@ def main():
     def loss_of(z):
         return jnp.sum(z[u_start:] ** 2)
 
-    def loss_fd(x, m1):
-        dpx = dataclasses.replace(dp, m_1=jnp.asarray(m1, dtype))
-        out, _ = mpc.step(state, x, dpx, 0.0)
-        return loss_of(out.solution)
+    # Saturation diagnostics at the test point (ift is interior-exact;
+    # n_active > 0 would reclassify this probe's expectation).
+    diag_solve = make_differentiable_solve(
+        mpc, with_diagnostics=True, method="ift")
+    _, diag = jax.jit(
+        lambda: diag_solve(x0, dp, jnp.zeros((), dtype), state))()
+    results["diagnostics"] = {
+        "n_active": int(diag["n_active"]),
+        "termination_state": int(diag["termination_state"]),
+    }
+    print("diagnostics:", json.dumps(results["diagnostics"]), flush=True)
 
-    fd_fn = jax.jit(loss_fd)
+    # Truth baseline: CPU/f64 central FD in a subprocess (this process's
+    # backend is the chip and x64 is off). f32 FD THROUGH an iterative
+    # solver is not a usable baseline for the small m_1 component:
+    # measured 2026-08-20, the f32 solver's termination plateau noise
+    # swamps a 0.3% parameter perturbation (FD said -2337 where BOTH
+    # independent AD methods agreed on -4414; the f64 FD agrees with the
+    # AD methods). Cross-backend comparison is the point of the probe
+    # anyway: TPU-f32 gradients vs the FD-validated f64 truth.
+    import subprocess
 
-    # Central FD baselines (f32: eps tuned to the solver's noise floor).
-    eps_x, eps_m = 3e-3, 3e-4
-    g_fd_x = np.zeros(4)
-    m1_0 = float(np.asarray(dp.m_1))
-    print("computing FD baseline ...", flush=True)
-    for i in range(4):
-        e = np.zeros(4)
-        e[i] = eps_x
-        lp = float(fd_fn(x0 + jnp.asarray(e, dtype), m1_0))
-        lm = float(fd_fn(x0 - jnp.asarray(e, dtype), m1_0))
-        g_fd_x[i] = (lp - lm) / (2 * eps_x)
-    g_fd_m = (float(fd_fn(x0, m1_0 + eps_m))
-              - float(fd_fn(x0, m1_0 - eps_m))) / (2 * eps_m)
-    results["fd"] = {"g_x": [float(v) for v in g_fd_x],
-                     "g_m1": float(g_fd_m)}
-    print("fd:", json.dumps(results["fd"]), flush=True)
+    fd_src = r"""
+import json, math, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+import dataclasses
+import jax.numpy as jnp
+sys.path.insert(0, %r)
+from cartpole_tpu import OptimizationParams, default_single_params, make_mpc
+mpc = make_mpc(OptimizationParams(
+    max_iterations=12, state_spacing=5, kkt_method="condensed"))
+dp = default_single_params(jnp.float64)
+x0 = jnp.asarray(%s, jnp.float64)
+state = mpc.init_state(jnp.float64)
+u_start = mpc.spec.u_start
+def loss(x, m1):
+    dpx = dataclasses.replace(dp, m_1=jnp.asarray(m1, jnp.float64))
+    out, _ = mpc.step(state, x, dpx, 0.0)
+    return jnp.sum(out.solution[u_start:] ** 2)
+fj = jax.jit(loss)
+f = lambda x, m1: float(fj(x, m1))
+eps_x, eps_m = 1e-5, 1e-6
+m1_0 = float(dp.m_1)
+g_x = []
+import numpy as np
+for i in range(4):
+    e = np.zeros(4); e[i] = eps_x
+    g_x.append((f(x0 + e, m1_0) - f(x0 - e, m1_0)) / (2 * eps_x))
+g_m = (f(x0, m1_0 + eps_m) - f(x0, m1_0 - eps_m)) / (2 * eps_m)
+print(json.dumps({"g_x": g_x, "g_m1": g_m}))
+""" % (os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+       json.dumps([float(v) for v in np.asarray(x0)]))
+    print("computing f64 CPU FD baseline (subprocess) ...", flush=True)
+    proc = subprocess.run(
+        [sys.executable, "-c", fd_src], capture_output=True, text=True,
+        timeout=1200,
+    )
+    if proc.returncode != 0:
+        print(proc.stderr[-2000:], file=sys.stderr)
+        raise RuntimeError("f64 FD subprocess failed")
+    fd = json.loads(proc.stdout.strip().splitlines()[-1])
+    g_fd_x = np.asarray(fd["g_x"])
+    g_fd_m = float(fd["g_m1"])
+    results["fd_f64_cpu"] = fd
+    print("fd(f64):", json.dumps(fd), flush=True)
     save()
 
     failures = []
