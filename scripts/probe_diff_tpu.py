@@ -43,8 +43,6 @@ OUT = os.path.join(
 
 
 def main():
-    import dataclasses
-
     from cartpole_tpu import (
         OptimizationParams, default_single_params, make_mpc,
     )
