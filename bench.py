@@ -266,7 +266,10 @@ def _cost_metrics(run, example_args, ticks, best_s, dev, run_desc):
             acc = floor.get("accounting", {})
             if (floor.get("device") == getattr(dev, "device_kind", "")
                     and floor.get("batch") == run_desc.get("batch")
-                    and run_desc.get("model") == "single" and acc):
+                    and run_desc.get("model") == "single"
+                    and run_desc.get("dtype") == "float32"
+                    and run_desc.get("kkt_method") == "condensed"
+                    and acc):
                 tick_ms = best_s / ticks * 1e3
                 model_ms = (28.0 / ticks
                             + 8 * acc["t_iter_marginal_ms"]
@@ -380,7 +383,9 @@ def main(argv=None):
                     "(2026-08-20). Always off on --cpu (the unrolled "
                     "body takes XLA:CPU minutes to compile).")
     args = ap.parse_args(argv)
-    args.fused = (not args.no_fused and not args.cpu
+    # Fused kernel: TPU-only, f32-only (Mosaic has no f64 path), lanes +
+    # condensed only.
+    args.fused = (not args.no_fused and not args.cpu and not args.f64
                   and args.layout == "lanes" and args.kkt == "condensed")
 
     if args.cpu:
@@ -493,19 +498,15 @@ def _double_health(args, dtype, dp_model="double"):
         get_model(dargs.model).default_params(),
     )
     n, ticks = dargs.batch, dargs.ticks
-    # Timed chunk: the transient-shaped configuration (measured
-    # prevention of the tumbling knockdowns at the source, see
-    # DOUBLE_TRANSIENT_OPT_KWARGS) — same problem size as the steady
-    # state, so its throughput is the headline number.
-    mpc, _run, _layout = _build_runner(dargs, ticks, dargs.kkt, dtype, dp)
-    _mpc_t, run_t, _ = _build_runner(
-        dargs, ticks, dargs.kkt, dtype, dp,
-        extra_opt_kwargs=DOUBLE_TRANSIENT_OPT_KWARGS,
-    )
+    # Timed chunk: the steady-state configuration (same program the
+    # scheduled outcome's base phase runs, so its compile is shared via
+    # the persistent cache and the timed trajectory is not wasted work
+    # for a differently-dosed transient).
+    mpc, run, _layout = _build_runner(dargs, ticks, dargs.kkt, dtype, dp)
     x0s = make_x0s(dargs.model, n, dtype)
     sps = jnp.zeros((n,), dtype)
     st0 = _cold_state(mpc, n, dtype)
-    best, res = _time_run(run_t, x0s, sps, st0, dargs.reps)
+    best, res = _time_run(run, x0s, sps, st0, dargs.reps)
     total_failed = _health(res)
     out = {"double_solves_per_s": round(n * ticks / best, 1)}
     if dargs.no_upright:
@@ -514,8 +515,31 @@ def _double_health(args, dtype, dp_model="double"):
 
     # Outcome through the PUBLIC time-varying-schedule API
     # (run_scheduled_closed_loop, mpc/schedule.py): transient override for
-    # the first chunk, base controller for the rest — what a deployment
-    # would call, not bench-side hand-chunking.
+    # the first DOUBLE_TRANSIENT_TICKS, base controller for the rest —
+    # what a deployment would call, not bench-side hand-chunking. The
+    # schedule's lanes layout needs the condensed KKT (step_lanes); for
+    # --kkt lu/schur comparison runs the outcome chains the timed vmap
+    # runner instead (no transient shaping — those paths are for solver
+    # comparison, not the headline regime).
+    if dargs.kkt != "condensed":
+        x, st = res.final_state, res.final_mpc_state
+        ticks_run = ticks
+        while ticks_run < dargs.upright_ticks:
+            res_c = run(x, sps, st)
+            x = res_c.final_state
+            st = res_c.final_mpc_state
+            ticks_run += ticks
+            total_failed += _health(res_c)
+        np.asarray(x[:4])
+        return {
+            **out,
+            "double_fraction_upright": round(
+                _upright_fraction(x, mpc.model.angle_indices), 4),
+            "double_upright_ticks": ticks_run,
+            "double_n_failed": total_failed,
+            "double_transient": "none (non-condensed comparison path)",
+        }
+
     from cartpole_tpu import run_scheduled_closed_loop
 
     fused = getattr(dargs, "fused", False)
@@ -526,7 +550,7 @@ def _double_health(args, dtype, dp_model="double"):
             fused = False
         else:
             fused_opts = {"batch_tile": tile, "interpret": False}
-    t_tr = DOUBLE_TRANSIENT_TICKS
+    t_tr = min(DOUBLE_TRANSIENT_TICKS, dargs.upright_ticks)
     res_s = run_scheduled_closed_loop(
         mpc, x0s, dp,
         [(t_tr, DOUBLE_TRANSIENT_OPT_KWARGS),

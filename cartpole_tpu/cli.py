@@ -250,8 +250,21 @@ def _cmd_sweep(args) -> int:
             layout = "vmap"
     if layout == "lanes-fused":
         per_shard = n // mesh.devices.size
-        tile = 512 if args.model == "single" else 128
-        fused_opts = {"batch_tile": min(tile, per_shard)}
+        # Largest VMEM-fit tile that DIVIDES the per-shard batch (the
+        # kernel requires exact tiling; e.g. per_shard=640 must use 128,
+        # not min(512, 640)).
+        cap = 512 if args.model == "single" else 128
+        tile = next(
+            (t for t in (512, 256, 128) if t <= cap and per_shard % t == 0),
+            None,
+        )
+        if tile is None:
+            raise SystemExit(
+                f"--layout lanes-fused needs the per-device batch "
+                f"({per_shard}) divisible by a 128-multiple tile; "
+                f"adjust --batch or use --layout lanes"
+            )
+        fused_opts = {"batch_tile": tile}
 
     run = make_sharded_closed_loop(
         mpc, mesh, num_steps=args.steps, layout=layout,

@@ -56,15 +56,20 @@ def main():
         max_iterations=8, state_spacing=5, kkt_method="condensed"))
     base = default_single_params(dtype)
     rng = np.random.RandomState(0)
-    # The (mass, length) grid: 64 x 64 over the UI slider ranges.
-    side = int(math.sqrt(n))
+    # The (mass, length) grid over the UI slider ranges, tiled up to the
+    # batch when side*side < n (non-square batches must still fill every
+    # instance: a short (side*side,) leaf would fail fused_supported's
+    # per-instance shape check).
+    side = max(int(math.sqrt(n)), 1)
     masses = np.linspace(0.05, 0.2, side)
     lengths = np.linspace(0.15, 0.4, side)
     mm, ll = np.meshgrid(masses, lengths)
+    m_flat = np.resize(mm.reshape(-1), n)
+    l_flat = np.resize(ll.reshape(-1), n)
     grid = dataclasses.replace(
         base,
-        m_1=jnp.asarray(mm.reshape(-1)[:n], dtype),
-        l_1=jnp.asarray(ll.reshape(-1)[:n], dtype),
+        m_1=jnp.asarray(m_flat, dtype),
+        l_1=jnp.asarray(l_flat, dtype),
     )
     x0s = np.tile(np.array([0.0, -math.pi / 2, 0.0, 0.0]), (n, 1))
     x0s[:, 0] += rng.uniform(-0.5, 0.5, n)
