@@ -7,12 +7,16 @@
 
 PY ?= python
 
-.PHONY: test test-slow lint bench bench-sweep tpu-gate codegen native clean help
+.PHONY: test test-fast test-slow lint bench bench-sweep tpu-gate codegen native clean help
 
 help:
-	@echo "targets: test test-slow lint bench bench-sweep tpu-gate codegen native clean"
+	@echo "targets: test test-fast test-slow lint bench bench-sweep tpu-gate codegen native clean"
 
-test:            ## full CPU/f64 suite on the 8-virtual-device mesh (~23 min)
+test:            ## the CI gate: per-file interpreter isolation (~40 min)
+	$(PY) scripts/run_tests.py
+
+test-fast:       ## single-process pytest (dev loops; can hit the
+	## order-dependent XLA:CPU abort on big-AD files — CLAUDE.md)
 	$(PY) -m pytest tests/ -q
 
 test-slow:       ## adds the slow-marked extras

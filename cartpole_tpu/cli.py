@@ -108,11 +108,28 @@ def _cmd_closed_loop(args) -> int:
     from .ops.solver import NLSTerminationState, termination_state_name
 
     mpc, dynamics_params, x0, _ = _setup(args)
-    run = jax.jit(
-        lambda x: run_closed_loop(
-            mpc, x, dynamics_params, args.steps, args.set_point
+    if args.schedule:
+        # Time-varying solver-parameter schedule (mpc/schedule.py):
+        # '[[50, {"u_derivative_cost_weight": 0.8}], [200, null]]' runs
+        # 50 shaped ticks then 200 base ticks, warm start chained.
+        from . import run_scheduled_closed_loop
+
+        schedule = [
+            (int(ticks), overrides)
+            for ticks, overrides in json.loads(args.schedule)
+        ]
+        args.steps = sum(t for t, _ in schedule)
+
+        def run(x):
+            return run_scheduled_closed_loop(
+                mpc, x, dynamics_params, schedule, args.set_point
+            )
+    else:
+        run = jax.jit(
+            lambda x: run_closed_loop(
+                mpc, x, dynamics_params, args.steps, args.set_point
+            )
         )
-    )
     t0 = time.perf_counter()
     res = run(x0)
     # Sync via host transfer: block_until_ready returns early on
@@ -360,6 +377,11 @@ def main(argv: Optional[Sequence[str]] = None) -> int:
     ap_cl.add_argument("--steps", type=int, default=250)
     ap_cl.add_argument("--log-json", default=None)
     ap_cl.add_argument("--plot", default=None, help="save trajectory plot PNG")
+    ap_cl.add_argument(
+        "--schedule", default=None,
+        help="time-varying solver-parameter schedule as JSON "
+        "[[ticks, {overrides}|null], ...] (run_scheduled_closed_loop; "
+        "overrides are OptimizationParams fields; overrides --steps)")
     ap_cl.set_defaults(fn=_cmd_closed_loop)
 
     ap_sw = sub.add_parser("sweep", help="sharded batched scenario sweep")

@@ -39,6 +39,27 @@ class TestCli:
         assert len(entries) == 25
         assert set(entries[0]) == {"state", "u", "termination_state"}
 
+    def test_closed_loop_schedule(self):
+        """--schedule runs the time-varying-parameter phases
+        (run_scheduled_closed_loop) and sizes the run from the phases."""
+        res = _run(
+            "closed-loop", "--cpu",
+            "--params", '{"max_iterations": 2}',
+            "--schedule",
+            '[[3, {"u_derivative_cost_weight": 0.8}], [3, null]]',
+        )
+        assert res.returncode == 0, res.stderr[-2000:]
+        summary = json.loads(res.stdout.split("wrote")[0])
+        assert summary["steps"] == 6
+        # Layout-changing overrides get the schedule API's designed error.
+        res = _run(
+            "closed-loop", "--cpu",
+            "--params", '{"max_iterations": 2}',
+            "--schedule", '[[3, {"window_length": 20}]]',
+        )
+        assert res.returncode != 0
+        assert "decision-vector layout" in res.stderr
+
     def test_sweep(self):
         res = _run(
             "sweep", "--cpu", "--batch", "8", "--steps", "5",
