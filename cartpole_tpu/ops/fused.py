@@ -129,8 +129,10 @@ def make_fused_iteration(problem, config, batch_tile: int | None = None,
     handles iteration — no 8x unroll, same Mosaic compile cost). Traces
     stream out through ``(n_iter, 1, B)`` outputs whose leading block
     index is the iteration. Measured v5e (fused_floor.json, 2026-08-20):
-    the 8-launch scan's inter-iteration launch+carry overhead this
-    removes is ~0.15 ms/tick at batch 4096.
+    bit-identical to the scan path, and the launch+carry overhead it
+    removes is only ~0.002 ms/tick at batch 4096 — the kernel is
+    VPU-compute-bound, so this mode is an equivalence/design proof and a
+    floor-model instrument, not a throughput win.
 
     ``emulate`` (default: True on the CPU backend) runs the SAME tile
     ``body`` through the same manual grid/BlockSpec slicing as plain jnp
